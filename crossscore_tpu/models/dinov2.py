@@ -1,0 +1,174 @@
+"""DINOv2-style ViT patch encoder, built natively in Flax for TPU.
+
+Architectural parity with HuggingFace ``Dinov2Model`` (the reference loads
+``facebook/dinov2-small`` and freezes it, reference ``task/core.py:39-42``):
+patch-embed conv (14x14/s14), CLS token, learned position embeddings with
+bicubic interpolation for non-native resolutions, pre-LN transformer blocks
+with LayerScale, exact-GELU MLP, final LayerNorm.
+
+TPU-first design decisions:
+- NHWC image layout; the patch-embed conv is expressed as a reshape + one big
+  (B*N, P*P*3) x (P*P*3, D) matmul, which XLA tiles straight onto the MXU
+  (no im2col scratch, patches are a free relayout).
+- qkv is a single fused (D, 3D) matmul per block.
+- LayerNorm/softmax statistics in fp32; matmuls run in the configured compute
+  dtype (bf16 in production).
+- The whole encoder is a `lax.scan`-free stack of 12 blocks — XLA pipelines
+  them; with `remat=True` each block is rematerialised to save HBM when the
+  encoder is part of a training graph.
+
+Weight conversion from the HF torch checkpoint lives in
+``crossscore_tpu/io/torch_convert.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crossscore_tpu.ops.interpolate import interpolate_bicubic
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    layerscale_init: float = 1.0
+    layer_norm_eps: float = 1e-6
+    image_size: int = 518  # native pos-emb grid = image_size // patch_size
+
+
+VIT_PRESETS: dict[str, ViTConfig] = {
+    "dinov2-small": ViTConfig(hidden_size=384, num_layers=12, num_heads=6),
+    "dinov2-base": ViTConfig(hidden_size=768, num_layers=12, num_heads=12),
+    "dinov2-large": ViTConfig(hidden_size=1024, num_layers=24, num_heads=16),
+}
+
+
+def _ln(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return _ln(x, scale, bias, self.eps)
+
+
+class ViTAttention(nn.Module):
+    """Multi-head self-attention with a fused qkv projection."""
+
+    cfg: ViTConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.hidden_size
+        h = self.cfg.num_heads
+        hd = d // h
+        b, n, _ = x.shape
+
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * scale, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v)
+        out = out.reshape(b, n, d)
+        return nn.Dense(d, dtype=self.dtype, name="out")(out)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        ls1 = self.param("ls1", nn.initializers.constant(c.layerscale_init), (c.hidden_size,))
+        ls2 = self.param("ls2", nn.initializers.constant(c.layerscale_init), (c.hidden_size,))
+
+        y = LayerNorm(c.layer_norm_eps, name="ln1")(x)
+        y = ViTAttention(c, self.dtype, name="attn")(y)
+        x = x + y * ls1.astype(x.dtype)
+
+        y = LayerNorm(c.layer_norm_eps, name="ln2")(x)
+        y = nn.Dense(c.mlp_ratio * c.hidden_size, dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(y)
+        x = x + y * ls2.astype(x.dtype)
+        return x
+
+
+class Dinov2Encoder(nn.Module):
+    """Frozen DINOv2-style backbone: (B, H, W, 3) -> (B, 1+N, D) tokens.
+
+    Output token 0 is CLS (callers typically strip it, mirroring reference
+    ``task/core.py:142``).
+    """
+
+    cfg: ViTConfig
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        b, hgt, wdt, _ = images.shape
+        p = c.patch_size
+        gh, gw = hgt // p, wdt // p
+        n = gh * gw
+        native = c.image_size // p
+
+        # --- patch embedding as one MXU matmul ---
+        x = images.astype(self.dtype)
+        x = x.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, n, p * p * 3)
+        x = nn.Dense(c.hidden_size, dtype=self.dtype, name="patch_proj")(x)
+
+        # --- CLS + position embeddings ---
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, c.hidden_size)
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1 + native * native, c.hidden_size),
+        )
+        if (gh, gw) == (native, native):
+            patch_pos = pos_embed[:, 1:]
+        else:
+            grid = pos_embed[0, 1:].reshape(native, native, c.hidden_size)
+            patch_pos = interpolate_bicubic(grid, gh, gw).reshape(1, n, c.hidden_size)
+        x = x + patch_pos.astype(self.dtype)
+        cls = (cls_token + pos_embed[:, :1]).astype(self.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.hidden_size)), x], axis=1)
+
+        # --- transformer blocks ---
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock)
+        for i in range(c.num_layers):
+            x = block_cls(c, self.dtype, name=f"block_{i}")(x)
+
+        return LayerNorm(c.layer_norm_eps, name="final_ln")(x)
