@@ -1,0 +1,187 @@
+"""Convert torch checkpoints (HF DINOv2 / reference Lightning ckpt) to flax params.
+
+Two entry points:
+
+- :func:`convert_hf_dinov2` — HuggingFace ``Dinov2Model`` state_dict ->
+  ``Dinov2Encoder`` param tree. Used to import ``facebook/dinov2-small`` weights.
+- :func:`convert_lightning_ckpt` — the reference's full Lightning checkpoint
+  (``CrossScore-v1.0.0.ckpt``; state_dict keys rooted at ``model.``) -> the
+  complete CrossScoreNet param tree. Covers backbone (HF names nested under
+  ``model.backbone.``), multi-view PE (``model.pos_enc_fn.PE``), the 2-layer
+  decoder (packed ``in_proj_weight`` split into q/k/v) and the MLP head.
+
+Inputs are dicts of numpy arrays (call :func:`state_dict_to_numpy` on a torch
+state_dict first) so this module has no hard torch dependency at import time.
+
+Layout mapping notes:
+- torch Linear weight (out, in) -> flax Dense kernel (in, out): transpose.
+- patch-embed conv weight (D, 3, P, P) -> (P, P, 3, D) -> reshape (P*P*3, D),
+  matching the (p_h, p_w, c) patch-pixel flattening in models/dinov2.py.
+- fused qkv kernel = concat([Wq.T, Wk.T, Wv.T], axis=1); the (3, h, hd) output
+  reshape in ViTAttention splits exactly on those column blocks.
+
+CLI: ``python -m crossscore_tpu.io.torch_convert <ckpt.ckpt|hf_dir> <out_dir>``
+writes an orbax checkpoint loadable by crossscore_tpu.io.checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in state_dict.items():
+        out[k] = v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _dense(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_hf_dinov2(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """HF Dinov2Model state_dict (numpy) -> Dinov2Encoder param tree."""
+    conv_w = sd["embeddings.patch_embeddings.projection.weight"]  # (D, 3, P, P)
+    d, _, p, _ = conv_w.shape
+    params: dict = {
+        "patch_proj": {
+            "kernel": conv_w.transpose(2, 3, 1, 0).reshape(p * p * 3, d),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "final_ln": _ln(sd, "layernorm"),
+    }
+    for i in range(num_layers):
+        pre = f"encoder.layer.{i}"
+        qkv_kernel = np.concatenate(
+            [
+                sd[f"{pre}.attention.attention.query.weight"].T,
+                sd[f"{pre}.attention.attention.key.weight"].T,
+                sd[f"{pre}.attention.attention.value.weight"].T,
+            ],
+            axis=1,
+        )
+        qkv_bias = np.concatenate(
+            [
+                sd[f"{pre}.attention.attention.query.bias"],
+                sd[f"{pre}.attention.attention.key.bias"],
+                sd[f"{pre}.attention.attention.value.bias"],
+            ]
+        )
+        params[f"block_{i}"] = {
+            "ln1": _ln(sd, f"{pre}.norm1"),
+            "attn": {
+                "qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
+                "out": _dense(sd, f"{pre}.attention.output.dense"),
+            },
+            "ls1": sd[f"{pre}.layer_scale1.lambda1"],
+            "ln2": _ln(sd, f"{pre}.norm2"),
+            "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+            "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+            "ls2": sd[f"{pre}.layer_scale2.lambda1"],
+        }
+    return params
+
+
+def _convert_torch_mha(sd: Mapping[str, np.ndarray], prefix: str, d_model: int) -> dict:
+    """torch.nn.MultiheadAttention (packed in_proj) -> TorchStyleMHA tree."""
+    w = sd[f"{prefix}.in_proj_weight"]  # (3D, D)
+    b = sd[f"{prefix}.in_proj_bias"]  # (3D,)
+    return {
+        "q_proj": {"kernel": w[:d_model].T, "bias": b[:d_model]},
+        "k_proj": {"kernel": w[d_model : 2 * d_model].T, "bias": b[d_model : 2 * d_model]},
+        "v_proj": {"kernel": w[2 * d_model :].T, "bias": b[2 * d_model :]},
+        "out_proj": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def convert_decoder(
+    sd: Mapping[str, np.ndarray],
+    prefix: str,
+    num_layers: int,
+    d_model: int,
+    do_self_attn: bool = True,
+) -> dict:
+    """torch TransformerDecoder(Customised) -> CrossReferenceDecoder tree."""
+    out: dict = {}
+    root = f"{prefix}." if prefix else ""
+    for i in range(num_layers):
+        pre = f"{root}layers.{i}"
+        layer: dict = {}
+        if do_self_attn:
+            layer["self_attn"] = _convert_torch_mha(sd, f"{pre}.self_attn", d_model)
+            layer["norm1"] = _ln(sd, f"{pre}.norm1")
+        layer["cross_attn"] = _convert_torch_mha(sd, f"{pre}.multihead_attn", d_model)
+        layer["norm2"] = _ln(sd, f"{pre}.norm2")
+        layer["linear1"] = _dense(sd, f"{pre}.linear1")
+        layer["linear2"] = _dense(sd, f"{pre}.linear2")
+        layer["norm3"] = _ln(sd, f"{pre}.norm3")
+        out[f"layer_{i}"] = layer
+    return out
+
+
+def convert_lightning_ckpt(
+    sd: Mapping[str, np.ndarray],
+    num_backbone_layers: int = 12,
+    num_decoder_layers: int = 2,
+    d_model: int = 384,
+    do_self_attn: bool = True,
+) -> dict:
+    """Full reference Lightning state_dict -> CrossScoreNet param tree.
+
+    Accepts either raw ``state_dict`` keys (``model.backbone....``) or a full
+    Lightning checkpoint dict (looks under the ``state_dict`` key first).
+    """
+    backbone_sd = {k[len("model.backbone.") :]: v for k, v in sd.items() if k.startswith("model.backbone.")}
+    params = {
+        "backbone": convert_hf_dinov2(backbone_sd, num_backbone_layers),
+        "pos_enc": {"pe": sd["model.pos_enc_fn.PE"][0]},  # (1,H,W,C) -> (H,W,C)
+        "decoder": convert_decoder(
+            sd, "model.ref_cross.attn", num_decoder_layers, d_model, do_self_attn
+        ),
+        "head_fc1": {"kernel": sd["model.ref_cross.head.0.weight"].T, "bias": sd["model.ref_cross.head.0.bias"]},
+        "head_fc2": {"kernel": sd["model.ref_cross.head.2.weight"].T, "bias": sd["model.ref_cross.head.2.bias"]},
+    }
+    return params
+
+
+def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """torch.load a Lightning ckpt and return its numpy state_dict."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    return state_dict_to_numpy(sd)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from crossscore_tpu.io.checkpoint import save_params
+
+    ap = argparse.ArgumentParser(description="Convert a torch CrossScore ckpt to orbax")
+    ap.add_argument("ckpt", help="path to the Lightning .ckpt file")
+    ap.add_argument("out_dir", help="orbax checkpoint output directory")
+    ap.add_argument("--backbone-layers", type=int, default=12)
+    ap.add_argument("--decoder-layers", type=int, default=2)
+    ap.add_argument("--d-model", type=int, default=384)
+    args = ap.parse_args(argv)
+
+    sd = load_torch_checkpoint(args.ckpt)
+    params = convert_lightning_ckpt(
+        sd, args.backbone_layers, args.decoder_layers, args.d_model
+    )
+    save_params(args.out_dir, params)
+    print(f"Converted {args.ckpt} -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

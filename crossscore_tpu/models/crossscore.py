@@ -1,0 +1,177 @@
+"""CrossScoreNet: the full model as one jittable XLA graph.
+
+Pipeline (behavioural parity with reference ``task/core.py:26-161`` and
+``model/cross_reference.py:10-94``):
+
+1. query (B, H, W, 3) + references (B, K, H, W, 3), ImageNet-normalised
+2. all B*(1+K) images through the frozen DINOv2 encoder in ONE batched call
+   (``stop_gradient`` replicates the reference's ``@torch.no_grad()``,
+   ``task/core.py:119``); CLS stripped
+3. fixed random multi-view PE added to query and reference tokens
+4. 2-layer cross-reference decoder: query tokens self-attend, then
+   cross-attend to all K*N reference tokens (fused Pallas flash kernel on TPU)
+5. MLP head -> regression activation -> patch_size^2 scores per patch
+6. jigsaw reassembly -> (B, H, W) score map
+
+TPU-first: NHWC layout, bf16 compute (fp32 LN/softmax statistics), no Python
+control flow that depends on data, static shapes per (H, W, K) bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crossscore_tpu.models.dinov2 import Dinov2Encoder, ViTConfig, VIT_PRESETS
+from crossscore_tpu.models.positional import MultiViewPositionalEmbedding
+from crossscore_tpu.models.decoder import CrossReferenceDecoder
+from crossscore_tpu.models.regression import regression_activation
+from crossscore_tpu.ops.jigsaw import jigsaw_to_image
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossScoreConfig:
+    backbone: ViTConfig = VIT_PRESETS["dinov2-small"]
+    patch_size: int = 14
+    pe_h: int = 40
+    pe_w: int = 40
+    decoder_layers: int = 2
+    decoder_heads: int = 8
+    decoder_ffn_ratio: int = 1
+    do_self_attn: bool = True
+    do_short_cut: bool = True
+    do_reference_cross: bool = True
+    metric_type: str = "ssim"
+    metric_min: int = 0
+    metric_max: int = 1
+    power_factor: Any = "default"
+    compute_dtype: Any = jnp.float32
+    attention_impl: str = "xla"  # xla | pallas
+    remat_backbone: bool = False
+
+    @staticmethod
+    def from_config(cfg) -> "CrossScoreConfig":
+        """Build from a composed YAML Config (crossscore_tpu.confsys)."""
+        m = cfg.model
+        preset = m.backbone.get("preset", "dinov2-small")
+        impl = m.tpu.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        return CrossScoreConfig(
+            backbone=VIT_PRESETS[preset],
+            patch_size=m.patch_size,
+            pe_h=m.pos_enc.multi_view.h,
+            pe_w=m.pos_enc.multi_view.w,
+            decoder_layers=m.decoder.num_layers,
+            decoder_heads=m.decoder.num_heads,
+            decoder_ffn_ratio=m.decoder.ffn_ratio,
+            do_self_attn=m.decoder_do_self_attn,
+            do_short_cut=m.decoder_do_short_cut,
+            do_reference_cross=m.do_reference_cross,
+            metric_type=m.predict.metric.type,
+            metric_min=m.predict.metric.min,
+            metric_max=m.predict.metric.max,
+            power_factor=m.predict.metric.power_factor,
+            compute_dtype=jnp.dtype(m.tpu.compute_dtype),
+            attention_impl=impl,
+            remat_backbone=m.tpu.remat_backbone,
+        )
+
+
+class CrossScoreNet(nn.Module):
+    cfg: CrossScoreConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        query_img: jnp.ndarray,
+        ref_imgs: Optional[jnp.ndarray],
+        need_attn_weights: bool = False,
+        need_attn_weights_head_id: int = 0,
+    ) -> dict:
+        """
+        :param query_img: (B, H, W, 3) ImageNet-normalised
+        :param ref_imgs:  (B, K, H, W, 3) or None
+        :return: dict with ``score_map_ref_cross`` (B, H, W) and optionally
+                 ``attn_weights_map_ref_cross`` (B, gh, gw, K, gh, gw)
+        """
+        c = self.cfg
+        b, hgt, wdt, _ = query_img.shape
+        p = c.patch_size
+        gh, gw = hgt // p, wdt // p
+        n_patch = gh * gw
+        d = c.backbone.hidden_size
+        dt = c.compute_dtype
+
+        # --- frozen backbone over all (1+K) views in one batched call ---
+        k_ref = 0 if ref_imgs is None else ref_imgs.shape[1]
+        all_imgs = query_img[:, None]
+        if ref_imgs is not None:
+            all_imgs = jnp.concatenate([all_imgs, ref_imgs], axis=1)
+        all_imgs = all_imgs.reshape(b * (1 + k_ref), hgt, wdt, 3)
+
+        tokens = Dinov2Encoder(c.backbone, dtype=dt, remat=c.remat_backbone, name="backbone")(
+            all_imgs
+        )
+        tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone
+        tokens = tokens.reshape(b, 1 + k_ref, n_patch, d)
+
+        pos_enc = MultiViewPositionalEmbedding(c.pe_h, c.pe_w, d, dtype=dt, name="pos_enc")
+
+        feat_query = pos_enc(tokens[:, 0], 1, gh, gw)
+
+        results: dict = {}
+        if c.do_reference_cross and ref_imgs is not None:
+            feat_ref = tokens[:, 1:].reshape(b, k_ref * n_patch, d)
+            feat_ref = pos_enc(feat_ref, k_ref, gh, gw)
+
+            decoded, mha_weights = CrossReferenceDecoder(
+                d_model=d,
+                num_heads=c.decoder_heads,
+                num_layers=c.decoder_layers,
+                ffn_ratio=c.decoder_ffn_ratio,
+                do_self_attn=c.do_self_attn,
+                do_short_cut=c.do_short_cut,
+                dtype=dt,
+                attention_impl=c.attention_impl,
+                name="decoder",
+            )(
+                feat_query,
+                feat_ref,
+                need_weights=need_attn_weights,
+                need_weights_head_id=need_attn_weights_head_id,
+            )
+
+            # --- head: Linear -> LeakyReLU -> Linear -> regression activation ---
+            y = nn.Dense(d, dtype=dt, name="head_fc1")(decoded)
+            y = nn.leaky_relu(y)  # default negative_slope 0.01, matches torch
+            y = nn.Dense(p * p, dtype=dt, name="head_fc2")(y)
+            act = regression_activation(c.metric_type, c.metric_min, c.metric_max, c.power_factor)
+            y = act(y.astype(jnp.float32))
+
+            score_map = jigsaw_to_image(y.reshape(b, n_patch, p, p), (gh, gw))
+            results["score_map_ref_cross"] = score_map
+
+            if need_attn_weights and mha_weights is not None:
+                results["attn_weights_map_ref_cross"] = mha_weights.reshape(
+                    b, gh, gw, k_ref, gh, gw
+                )
+        return results
+
+
+def trainable_mask(params: dict) -> dict:
+    """Pytree mask: True for trainable leaves (decoder + head), False for the
+    frozen backbone and the fixed random PE (reference ``task/core.py:41-42,494``
+    freezes the backbone; ``config/model/model.yaml`` sets PE req_grad False)."""
+
+    def mark(path_prefix: str, tree):
+        if isinstance(tree, dict):
+            return {k: mark(f"{path_prefix}/{k}", v) for k, v in tree.items()}
+        trainable = not (path_prefix.startswith("/backbone") or path_prefix.startswith("/pos_enc"))
+        return trainable
+
+    return mark("", params)

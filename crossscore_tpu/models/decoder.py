@@ -1,0 +1,168 @@
+"""Cross-reference transformer decoder.
+
+Behavioural parity with the reference's customised fork of torch's
+``TransformerDecoder`` (reference ``model/customised_transformer/transformer.py:20-268``):
+
+- post-norm layers (norm_first=False): ``x = norm1(x + sa(x))``,
+  ``x = norm2(x + mha(x, mem))``, ``x = norm3(x + ff(x))``
+- optional self-attention (``do_self_attn``) and residual (``do_short_cut``) flags
+- ReLU feed-forward with ``dim_feedforward == hidden`` (reference
+  ``model/cross_reference.py:28-39``), dropout 0
+- optionally returns the LAST layer's per-head cross-attention weights for ONE
+  selected head (reference ``transformer.py:175-178``) — debug-only, unfused path.
+
+TPU-first design:
+- attention runs through a pluggable impl: ``"xla"`` (dense einsum, fp32
+  softmax — XLA fuses it) or ``"pallas"`` (fused flash kernel streaming the
+  K*N_patches reference axis with online softmax, crossscore_tpu/ops/flash_attention.py).
+- q/k/v projections are separate Dense layers whose torch equivalent is the
+  packed ``in_proj_weight`` (split 3-ways on conversion).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crossscore_tpu.models.dinov2 import LayerNorm
+
+
+def dense_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    return_probs: bool = False,
+):
+    """Dense multi-head attention core: (B, H, Nq, hd) x (B, H, Nk, hd).
+
+    Softmax statistics in fp32. torch ``MultiheadAttention`` scales q by
+    1/sqrt(head_dim) before the QK^T product.
+    """
+    hd = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    if return_probs:
+        return out, probs
+    return out
+
+
+class TorchStyleMHA(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent (batch_first, same q/k/v dims)."""
+
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"  # xla | pallas
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        need_weights: bool = False,
+    ):
+        b, nq, _ = query.shape
+        nk = key.shape[1]
+        h = self.num_heads
+        hd = self.d_model // h
+
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(value)
+
+        q = q.reshape(b, nq, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, nk, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, nk, h, hd).transpose(0, 2, 1, 3)
+
+        probs = None
+        if need_weights:
+            out, probs = dense_attention(q, k, v, return_probs=True)
+        elif self.attention_impl == "pallas":
+            from crossscore_tpu.ops.flash_attention import flash_cross_attention
+
+            out = flash_cross_attention(q, k, v)
+        else:
+            out = dense_attention(q, k, v)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, nq, self.d_model)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        return out, probs  # probs: (B, H, Nq, Nk) or None
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    do_self_attn: bool = True
+    do_short_cut: bool = True
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+    layer_norm_eps: float = 1e-5  # torch default
+
+    @nn.compact
+    def __call__(self, x, memory, need_weights: bool = False):
+        mha_weights = None
+
+        if self.do_self_attn:
+            sa_out, _ = TorchStyleMHA(
+                self.d_model, self.num_heads, self.dtype, self.attention_impl, name="self_attn"
+            )(x, x, x, need_weights=False)
+            x = x + sa_out if self.do_short_cut else sa_out
+            x = LayerNorm(self.layer_norm_eps, name="norm1")(x)
+
+        mha_out, mha_weights = TorchStyleMHA(
+            self.d_model, self.num_heads, self.dtype, self.attention_impl, name="cross_attn"
+        )(x, memory, memory, need_weights=need_weights)
+        x = x + mha_out if self.do_short_cut else mha_out
+        x = LayerNorm(self.layer_norm_eps, name="norm2")(x)
+
+        y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
+        x = LayerNorm(self.layer_norm_eps, name="norm3")(x + y)
+        return x, mha_weights
+
+
+class CrossReferenceDecoder(nn.Module):
+    """Stack of decoder layers; returns last layer's selected-head weights."""
+
+    d_model: int
+    num_heads: int = 8
+    num_layers: int = 2
+    ffn_ratio: int = 1
+    do_self_attn: bool = True
+    do_short_cut: bool = True
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jnp.ndarray,
+        memory: jnp.ndarray,
+        need_weights: bool = False,
+        need_weights_head_id: int = 0,
+    ):
+        x = tgt
+        mha_weights: Optional[jnp.ndarray] = None
+        for i in range(self.num_layers):
+            x, w = DecoderLayer(
+                self.d_model,
+                self.num_heads,
+                self.ffn_ratio * self.d_model,
+                self.do_self_attn,
+                self.do_short_cut,
+                self.dtype,
+                self.attention_impl,
+                name=f"layer_{i}",
+            )(x, memory, need_weights=need_weights)
+            if w is not None:
+                mha_weights = w[:, need_weights_head_id]  # (B, Nq, Nk), last layer wins
+        return x, mha_weights

@@ -1,0 +1,188 @@
+"""End-to-end golden parity: CrossScoreNet vs a torch pipeline that replicates
+the reference forward semantics (reference task/core.py:58-161 +
+model/cross_reference.py:52-94) with random weights, converted through the
+full Lightning-checkpoint converter path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig, ViTConfig
+from crossscore_tpu.models.crossscore import trainable_mask
+from crossscore_tpu.io.torch_convert import state_dict_to_numpy, convert_lightning_ckpt
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+D = 64
+PE_HW = 6
+PATCH = 14
+VIT = ViTConfig(hidden_size=D, num_layers=2, num_heads=2, patch_size=PATCH, image_size=56)
+
+
+def _build_torch_stack(seed=0):
+    from transformers import Dinov2Config, Dinov2Model
+
+    torch.manual_seed(seed)
+    hf = Dinov2Model(
+        Dinov2Config(
+            hidden_size=D,
+            num_hidden_layers=VIT.num_layers,
+            num_attention_heads=VIT.num_heads,
+            mlp_ratio=4,
+            patch_size=PATCH,
+            image_size=VIT.image_size,
+        )
+    ).eval()
+    pe = torch.randn(1, PE_HW, PE_HW, D)
+    dec_layer = torch.nn.TransformerDecoderLayer(
+        d_model=D, nhead=4, dim_feedforward=D, dropout=0.0, batch_first=True
+    )
+    dec = torch.nn.TransformerDecoder(dec_layer, num_layers=2).eval()
+    head0 = torch.nn.Linear(D, D)
+    head2 = torch.nn.Linear(D, PATCH * PATCH)
+    return hf, pe, dec, head0, head2
+
+
+def _torch_forward(hf, pe, dec, head0, head2, query, refs):
+    """Replicates the reference forward graph step by step."""
+    b, _, hgt, wdt = query.shape
+    k = refs.shape[1]
+    gh, gw = hgt // PATCH, wdt // PATCH
+    n = gh * gw
+
+    all_imgs = torch.cat([query[:, None], refs], dim=1).reshape(b * (1 + k), 3, hgt, wdt)
+    with torch.no_grad():
+        feats = hf(all_imgs).last_hidden_state[:, 1:]
+    feats = feats.reshape(b, 1 + k, n, D)
+
+    if (gh, gw) == (PE_HW, PE_HW):
+        pe_hw = pe
+    else:
+        pe_hw = F.interpolate(
+            pe.permute(0, 3, 1, 2),
+            scale_factor=((gh + 1e-4) / PE_HW, (gw + 1e-4) / PE_HW),
+            mode="bilinear",
+            align_corners=True,
+        ).permute(0, 2, 3, 1)
+
+    fq = (feats[:, 0].reshape(b, gh, gw, D) + pe_hw).reshape(b, n, D)
+    fr = (feats[:, 1:].reshape(b, k, gh, gw, D) + pe_hw[None]).reshape(b, k * n, D)
+
+    with torch.no_grad():
+        x = dec(fq, fr)
+        y = torch.sigmoid(head2(F.leaky_relu(head0(x))))
+
+    y = y.view(b, gh, gw, PATCH, PATCH).permute(0, 1, 3, 2, 4).reshape(b, hgt, wdt)
+    return y
+
+
+def _lightning_style_state_dict(hf, pe, dec, head0, head2):
+    sd = {}
+    for k, v in hf.state_dict().items():
+        sd[f"model.backbone.{k}"] = v
+    sd["model.pos_enc_fn.PE"] = pe
+    for k, v in dec.state_dict().items():
+        sd[f"model.ref_cross.attn.{k}"] = v
+    for k, v in head0.state_dict().items():
+        sd[f"model.ref_cross.head.0.{k}"] = v
+    for k, v in head2.state_dict().items():
+        sd[f"model.ref_cross.head.2.{k}"] = v
+    return state_dict_to_numpy(sd)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    return _build_torch_stack()
+
+
+class TestCrossScoreE2E:
+    def test_score_map_parity(self, stack, rng):
+        hf, pe, dec, head0, head2 = stack
+        b, k, hw = 2, 3, 56
+        query = rng.standard_normal((b, hw, hw, 3)).astype(np.float32)
+        refs = rng.standard_normal((b, k, hw, hw, 3)).astype(np.float32)
+
+        expected = _torch_forward(
+            hf, pe, dec, head0, head2,
+            torch.tensor(query).permute(0, 3, 1, 2),
+            torch.tensor(refs).permute(0, 1, 4, 2, 3),
+        ).numpy()
+
+        params = convert_lightning_ckpt(
+            _lightning_style_state_dict(hf, pe, dec, head0, head2),
+            num_backbone_layers=VIT.num_layers,
+            num_decoder_layers=2,
+            d_model=D,
+        )
+        cfg = CrossScoreConfig(
+            backbone=VIT, patch_size=PATCH, pe_h=PE_HW, pe_w=PE_HW,
+            decoder_layers=2, decoder_heads=4,
+        )
+        out = CrossScoreNet(cfg).apply(
+            {"params": params}, jnp.asarray(query), jnp.asarray(refs)
+        )
+        score = np.asarray(out["score_map_ref_cross"])
+        assert score.shape == expected.shape == (b, hw, hw)
+        mae = np.abs(score - expected).mean()
+        assert mae < 1e-4, f"score-map MAE {mae} vs torch reference"
+        np.testing.assert_allclose(score, expected, atol=1e-3)
+
+    def test_bf16_close_to_fp32(self, stack, rng):
+        """The production bf16 graph should stay within loose tolerance of fp32."""
+        hf, pe, dec, head0, head2 = stack
+        params = convert_lightning_ckpt(
+            _lightning_style_state_dict(hf, pe, dec, head0, head2),
+            num_backbone_layers=VIT.num_layers, num_decoder_layers=2, d_model=D,
+        )
+        query = rng.standard_normal((1, 56, 56, 3)).astype(np.float32)
+        refs = rng.standard_normal((1, 2, 56, 56, 3)).astype(np.float32)
+
+        cfg32 = CrossScoreConfig(backbone=VIT, patch_size=PATCH, pe_h=PE_HW, pe_w=PE_HW, decoder_heads=4)
+        cfg16 = CrossScoreConfig(
+            backbone=VIT, patch_size=PATCH, pe_h=PE_HW, pe_w=PE_HW, decoder_heads=4,
+            compute_dtype=jnp.bfloat16,
+        )
+        s32 = CrossScoreNet(cfg32).apply({"params": params}, jnp.asarray(query), jnp.asarray(refs))
+        s16 = CrossScoreNet(cfg16).apply({"params": params}, jnp.asarray(query), jnp.asarray(refs))
+        a = np.asarray(s32["score_map_ref_cross"])
+        c = np.asarray(s16["score_map_ref_cross"])
+        assert np.abs(a - c).mean() < 0.05
+
+    def test_attn_weights_shape(self, stack, rng):
+        hf, pe, dec, head0, head2 = stack
+        params = convert_lightning_ckpt(
+            _lightning_style_state_dict(hf, pe, dec, head0, head2),
+            num_backbone_layers=VIT.num_layers, num_decoder_layers=2, d_model=D,
+        )
+        cfg = CrossScoreConfig(backbone=VIT, patch_size=PATCH, pe_h=PE_HW, pe_w=PE_HW, decoder_heads=4)
+        query = rng.standard_normal((1, 56, 56, 3)).astype(np.float32)
+        refs = rng.standard_normal((1, 2, 56, 56, 3)).astype(np.float32)
+        out = CrossScoreNet(cfg).apply(
+            {"params": params}, jnp.asarray(query), jnp.asarray(refs),
+            need_attn_weights=True, need_attn_weights_head_id=1,
+        )
+        w = out["attn_weights_map_ref_cross"]
+        assert w.shape == (1, 4, 4, 2, 4, 4)
+        # rows are softmax distributions over all K*N reference tokens
+        sums = np.asarray(w).reshape(1, 16, -1).sum(-1)
+        np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+
+
+class TestTrainableMask:
+    def test_backbone_and_pe_frozen(self, stack):
+        hf, pe, dec, head0, head2 = stack
+        params = convert_lightning_ckpt(
+            _lightning_style_state_dict(hf, pe, dec, head0, head2),
+            num_backbone_layers=VIT.num_layers, num_decoder_layers=2, d_model=D,
+        )
+        mask = trainable_mask(params)
+        assert mask["head_fc1"]["kernel"] is True
+        assert mask["decoder"]["layer_0"]["cross_attn"]["q_proj"]["kernel"] is True
+        flat_bb = jax.tree_util.tree_leaves(mask["backbone"])
+        assert all(v is False for v in flat_bb)
+        assert mask["pos_enc"]["pe"] is False

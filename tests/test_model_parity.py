@@ -1,0 +1,186 @@
+"""Golden-parity tests: the Flax model stack vs randomly-initialised torch
+reference modules (HF Dinov2Model + torch TransformerDecoder + head).
+
+These verify the *architecture and weight conversion* exactly, without needing
+the (unavailable-offline) pretrained weights: random torch weights are
+converted with io/torch_convert.py and outputs compared in fp32.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from crossscore_tpu.models import (
+    ViTConfig,
+    Dinov2Encoder,
+    CrossReferenceDecoder,
+    MultiViewPositionalEmbedding,
+    regression_activation,
+)
+from crossscore_tpu.io.torch_convert import (
+    state_dict_to_numpy,
+    convert_hf_dinov2,
+    convert_decoder,
+)
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+SMALL_VIT = ViTConfig(
+    hidden_size=64, num_layers=2, num_heads=2, mlp_ratio=4, patch_size=14, image_size=56
+)
+
+
+def _hf_dinov2(cfg: ViTConfig):
+    from transformers import Dinov2Config, Dinov2Model
+
+    torch.manual_seed(0)
+    hf_cfg = Dinov2Config(
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        patch_size=cfg.patch_size,
+        image_size=cfg.image_size,
+        layerscale_value=cfg.layerscale_init,
+        hidden_act="gelu",
+    )
+    model = Dinov2Model(hf_cfg).eval()
+    return model
+
+
+class TestDinov2Parity:
+    def test_native_resolution(self, rng):
+        model = _hf_dinov2(SMALL_VIT)
+        params = convert_hf_dinov2(state_dict_to_numpy(model.state_dict()), SMALL_VIT.num_layers)
+
+        img = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = model(torch.tensor(img).permute(0, 3, 1, 2)).last_hidden_state.numpy()
+
+        enc = Dinov2Encoder(SMALL_VIT)
+        ours = enc.apply({"params": params}, jnp.asarray(img))
+        assert ours.shape == expected.shape  # (2, 1+16, 64)
+        np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-4)
+
+    def test_interpolated_resolution(self, rng):
+        """Non-native grid exercises the bicubic pos-emb interpolation."""
+        model = _hf_dinov2(SMALL_VIT)
+        params = convert_hf_dinov2(state_dict_to_numpy(model.state_dict()), SMALL_VIT.num_layers)
+
+        img = rng.standard_normal((1, 70, 84, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = model(torch.tensor(img).permute(0, 3, 1, 2)).last_hidden_state.numpy()
+
+        ours = Dinov2Encoder(SMALL_VIT).apply({"params": params}, jnp.asarray(img))
+        assert ours.shape == expected.shape
+        np.testing.assert_allclose(np.asarray(ours), expected, atol=5e-3)
+
+
+def _torch_decoder(d_model=32, nhead=4, num_layers=2):
+    torch.manual_seed(1)
+    layer = torch.nn.TransformerDecoderLayer(
+        d_model=d_model,
+        nhead=nhead,
+        dim_feedforward=d_model,
+        dropout=0.0,
+        batch_first=True,
+        norm_first=False,
+    )
+    dec = torch.nn.TransformerDecoder(layer, num_layers=num_layers).eval()
+    return dec
+
+
+class TestDecoderParity:
+    def test_matches_torch_transformer_decoder(self, rng):
+        """Standard torch TransformerDecoder == our decoder with default flags
+        (the reference's customised fork reduces to it when do_self_attn and
+        do_short_cut are both True, reference transformer.py:157-173)."""
+        d, h, nl = 32, 4, 2
+        dec = _torch_decoder(d, h, nl)
+        sd = state_dict_to_numpy(dec.state_dict())
+        params = convert_decoder(sd, "", nl, d)  # keys look like .layers.0....
+
+        tgt = rng.standard_normal((2, 9, d)).astype(np.float32)
+        mem = rng.standard_normal((2, 15, d)).astype(np.float32)
+        with torch.no_grad():
+            expected = dec(torch.tensor(tgt), torch.tensor(mem)).numpy()
+
+        ours, _ = CrossReferenceDecoder(d_model=d, num_heads=h, num_layers=nl).apply(
+            {"params": params}, jnp.asarray(tgt), jnp.asarray(mem)
+        )
+        np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-4)
+
+    def test_attention_weights_match_torch(self, rng):
+        """Per-head cross-attn weights of a selected head (debug path)."""
+        d, h = 32, 4
+        dec = _torch_decoder(d, h, 1)
+        sd = state_dict_to_numpy(dec.state_dict())
+        params = convert_decoder(sd, "", 1, d)
+
+        tgt = rng.standard_normal((1, 5, d)).astype(np.float32)
+        mem = rng.standard_normal((1, 8, d)).astype(np.float32)
+
+        layer = dec.layers[0]
+        with torch.no_grad():
+            t_tgt, t_mem = torch.tensor(tgt), torch.tensor(mem)
+            x = layer.norm1(t_tgt + layer._sa_block(t_tgt, None, None))
+            _, w = layer.multihead_attn(
+                x, t_mem, t_mem, need_weights=True, average_attn_weights=False
+            )
+        head_id = 2
+        expected = w[:, head_id].numpy()
+
+        _, ours_w = CrossReferenceDecoder(d_model=d, num_heads=h, num_layers=1).apply(
+            {"params": params},
+            jnp.asarray(tgt),
+            jnp.asarray(mem),
+            need_weights=True,
+            need_weights_head_id=head_id,
+        )
+        np.testing.assert_allclose(np.asarray(ours_w), expected, atol=2e-5)
+
+
+class TestPositionalEmbedding:
+    def test_same_pe_added_to_every_view(self, rng):
+        mod = MultiViewPositionalEmbedding(pe_h=6, pe_w=6, hidden_size=8)
+        tokens = jnp.zeros((1, 2 * 4 * 5, 8))
+        variables = mod.init(jax.random.PRNGKey(0), tokens, 2, 4, 5)
+        out = mod.apply(variables, tokens, 2, 4, 5)
+        out = np.asarray(out).reshape(1, 2, 20, 8)
+        np.testing.assert_allclose(out[0, 0], out[0, 1], atol=0)
+
+    def test_no_interp_at_native_grid(self, rng):
+        mod = MultiViewPositionalEmbedding(pe_h=4, pe_w=5, hidden_size=8)
+        tokens = jnp.zeros((1, 20, 8))
+        variables = mod.init(jax.random.PRNGKey(0), tokens, 1, 4, 5)
+        out = mod.apply(variables, tokens, 1, 4, 5)
+        pe = variables["params"]["pe"]
+        np.testing.assert_allclose(np.asarray(out[0]).reshape(4, 5, 8), np.asarray(pe), atol=0)
+
+
+class TestRegressionActivation:
+    @pytest.mark.parametrize(
+        "metric,mmin,pf,x,expected_fn",
+        [
+            ("ssim", -1, "default", 0.3, lambda t: torch.tanh(t)),
+            ("ssim", 0, "default", 0.3, lambda t: torch.sigmoid(t)),
+            ("mae", 0, "default", -0.7, lambda t: torch.sigmoid(t) ** 2),
+            ("mse", 0, "default", 1.2, lambda t: torch.sigmoid(t) ** 4),
+            ("mae", 0, 1.5, 0.9, lambda t: torch.sigmoid(t) ** 1.5),
+        ],
+    )
+    def test_table(self, metric, mmin, pf, x, expected_fn):
+        act = regression_activation(metric, mmin, 1, pf)
+        expected = expected_fn(torch.tensor(x)).item()
+        np.testing.assert_allclose(float(act(jnp.asarray(x))), expected, rtol=1e-4)
+
+    def test_invalid_configs_raise(self):
+        with pytest.raises(ValueError):
+            regression_activation("some_typo", 0, 1)
+        with pytest.raises(ValueError):
+            regression_activation("mae", -1, 1)
+        with pytest.raises(ValueError):
+            regression_activation("ssim", 0, 2)
