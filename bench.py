@@ -1,0 +1,79 @@
+"""Benchmark: 518px query score-maps/sec/chip at 8 reference views.
+
+Runs the flagship inference graph (frozen DINOv2-small backbone over 1+8
+views, fused Pallas cross-attention decoder, bf16) on the available
+accelerator and prints ONE JSON line.
+
+Timing method: an in-graph ``lax.fori_loop`` with a data dependency between
+iterations (input perturbed by the loop index), so the measurement is true
+device time — host dispatch / tunnel-RPC latency is excluded, and XLA cannot
+CSE the iterations away.
+
+``vs_baseline``: the reference repo publishes no throughput numbers
+(BASELINE.md). We compare against a documented engineering estimate of the
+reference stack on its own hardware: torch fp16 on one A5000, B=8, K=8 —
+~1.07 TFLOP per score map (9x DINOv2-small 518px forwards + decoder) at ~30%
+tensor-core MFU of 111 TFLOPS peak => ~25 maps/s. vs_baseline = value / 25.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MAPS_PER_SEC_A5000 = 25.0
+BATCH = 8
+K_REFS = 8
+HW = 518
+N_ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from crossscore_tpu.confsys import load_config
+    from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+
+    cfg = load_config("default_predict")
+    mcfg = CrossScoreConfig.from_config(cfg)
+    model = CrossScoreNet(mcfg)
+
+    rng = np.random.default_rng(0)
+    query = jnp.asarray(rng.standard_normal((BATCH, HW, HW, 3)), jnp.bfloat16)
+    refs = jnp.asarray(rng.standard_normal((BATCH, K_REFS, HW, HW, 3)), jnp.bfloat16)
+
+    # init on small shapes (init weights don't depend on image size)
+    params = model.init(
+        jax.random.PRNGKey(0), query[:1, :70, :70], refs[:1, :, :70, :70]
+    )["params"]
+
+    def body(i, carry):
+        q = query * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+        out = model.apply({"params": params}, q, refs)
+        return carry + out["score_map_ref_cross"][0, 0, 0].astype(jnp.float32)
+
+    loop = jax.jit(lambda: jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0)))
+
+    loop().block_until_ready()  # compile + warm up
+    t0 = time.perf_counter()
+    loop().block_until_ready()
+    dt = (time.perf_counter() - t0) / N_ITERS
+
+    maps_per_sec = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "518px query score-maps/sec/chip at 8 ref views",
+                "value": round(maps_per_sec, 2),
+                "unit": "maps/s",
+                "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC_A5000, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

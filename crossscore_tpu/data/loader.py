@@ -1,0 +1,162 @@
+"""Host input pipeline: multi-threaded decode + prefetch feeding the device.
+
+Replaces the reference's torch ``DataLoader`` stack (reference
+``task/train.py:86-103``: 6 workers, pin_memory, prefetch_factor 2). Design:
+
+- Items are pure functions of (epoch, index): the RNG for sampling/crops is
+  folded from ``(seed, epoch, index)``, so any batch is reproducible in
+  isolation and multi-host sharding cannot skew distributions.
+- A thread pool decodes PNGs concurrently (PIL releases the GIL during
+  decode); whole batches are assembled ahead of time into a bounded prefetch
+  queue so the accelerator never waits on the host.
+- Fixed output shapes per (crop_size, K) so the jitted graph never recompiles.
+  The final partial batch is padded by repeating the last item; the true count
+  travels in ``batch["_valid"]``.
+- Optional ``sharding``: completed batches are pushed to device asynchronously
+  (`jax.device_put` with a NamedSharding), overlapping H2D with compute.
+- Multi-host: pass ``shard_index/num_shards`` to partition the index space
+  (replaces Lightning's DistributedSampler).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+_PERM_SENTINEL = 2**31  # index slot used for the epoch permutation RNG
+
+
+def _fold_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([seed, epoch, index]))
+
+
+def collate(items: list[dict]) -> dict:
+    """Stack item dicts into batch arrays; item_paths collates to lists."""
+    out: dict = {}
+    for key in items[0]:
+        if key == "item_paths":
+            paths = [it["item_paths"] for it in items]
+            out["item_paths"] = {
+                "query/img": [p["query/img"] for p in paths],
+                "query/score_map": [p["query/score_map"] for p in paths],
+                # (K, B) transposed layout, matching the reference batch format
+                "reference/cross/imgs": [
+                    [p["reference/cross/imgs"][k] for p in paths]
+                    for k in range(len(paths[0]["reference/cross/imgs"]))
+                ],
+            }
+        else:
+            out[key] = np.stack([it[key] for it in items])
+    return out
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 6,
+        prefetch_batches: int = 2,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_last: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        sharding=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.sharding = sharding
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = _fold_rng(self.seed, epoch, _PERM_SENTINEL).permutation(n)
+        if self.num_shards > 1:
+            # even per-shard counts: trim the remainder (DistributedSampler pads;
+            # trimming keeps per-host batches aligned without duplicate samples)
+            per = n // self.num_shards
+            idx = idx[self.shard_index * per : (self.shard_index + 1) * per]
+        return idx
+
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield collated (optionally device-sharded) batches for one epoch."""
+        indices = self._epoch_indices(epoch)
+        n = len(indices)
+        bs = self.batch_size
+
+        batch_slices = []
+        for start in range(0, n, bs):
+            chunk = indices[start : start + bs]
+            if len(chunk) < bs and self.drop_last:
+                continue
+            batch_slices.append(chunk)
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for chunk in batch_slices:
+                    if stop.is_set():
+                        break
+                    items = list(
+                        pool.map(
+                            lambda i: self.dataset.get_item(
+                                int(i), _fold_rng(self.seed, epoch, int(i))
+                            ),
+                            chunk,
+                        )
+                    )
+                    valid = len(items)
+                    if valid < bs and self.pad_last:
+                        items = items + [items[-1]] * (bs - valid)
+                    batch = collate(items)
+                    batch["_valid"] = np.asarray(valid, np.int32)
+                    if self.sharding is not None:
+                        import jax
+
+                        batch = {
+                            k: (jax.device_put(v, self.sharding) if isinstance(v, np.ndarray) and v.ndim > 0 else v)
+                            for k, v in batch.items()
+                        }
+                    out_q.put(batch)
+            out_q.put(None)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while producer.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

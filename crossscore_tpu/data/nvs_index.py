@@ -1,0 +1,366 @@
+"""NVS dataset: filesystem index, neighbour selection, per-item loading.
+
+Behavioural parity with reference ``dataloading/dataset/nvs_dataset.py``:
+
+Directory layout (produced by the reference's preprocessing):
+``<dataset_path>/<res_*>/<scene>/<train|test>/ours_<iter>/{renders,gt,metric_map/{ssim,mae}}``
+plus ``<res_*>/split.json`` with train/val/test scene-name lists.
+
+Semantics:
+- Query images are RENDERS of split S; cross-references are GT CAPTURES of
+  the OTHER split (``nvs_dataset.py:395-399``).
+- ``ssim`` maps are stored uint16 in [-1, 1] and optionally clamped to [0, 1];
+  ``mse`` is derived as mae^2 (``nvs_dataset.py:441-455``).
+- Missing metric maps and padded references use ``empty_image`` placeholders
+  (zeros; NaN maps for mae/mse).
+- ``num_gaussians_iters`` truncates to earlier (noisier) GS checkpoints.
+- ``zero_reference`` ablation zeroes all reference pixels.
+
+Unlike the reference's torch ``Dataset`` (implicit np.random state per
+worker), items are pure functions of (index, epoch_seed): every call derives
+its RNG from a fold-in, so any element is reproducible in isolation and
+sharding across hosts/workers cannot skew distributions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from crossscore_tpu.io.images import image_read, metric_map_read, normalize_imagenet
+from crossscore_tpu.ops.interpolate import resize_bilinear_antialias
+from crossscore_tpu.data.samplers import make_sampler, EMPTY_IMAGE
+from crossscore_tpu.data.crop import CropperSame, CropperSeparate
+
+
+class NeighbourSelector:
+    """Flattens (scene, gs_split, iter, image) into a global index and returns
+    query/score-map/reference paths per element."""
+
+    def __init__(self, paths: dict, neighbour_config: dict):
+        self.paths = paths
+        self.neighbour_config = neighbour_config
+        self.index = self._build_index(paths)
+        self.sampler = None
+        if neighbour_config["cross"] > 0:
+            self.sampler = make_sampler(
+                neighbour_config.get("strategy", "random"),
+                neighbour_config["cross"],
+                neighbour_config.get("deterministic", False),
+            )
+
+    @staticmethod
+    def _build_index(paths: dict) -> list[dict]:
+        index = []
+        for scene in sorted(paths.keys()):
+            for gs_split in ("train", "test"):
+                key = f"gs_{gs_split}"
+                if key not in paths[scene]:
+                    continue
+                q = paths[scene][key]["query"]
+                for it in range(q["N_iters"]):
+                    for img in range(q["N_imgs_per_iter"]):
+                        index.append(
+                            {
+                                "scene_name": scene,
+                                "gaussian_split": gs_split,
+                                "iter_idx": it,
+                                "img_idx": img,
+                            }
+                        )
+        return index
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, idx: int) -> dict:
+        return self.select(idx, np.random.default_rng(0))
+
+    def select(self, idx: int, rng: np.random.Generator) -> dict:
+        meta = self.index[idx]
+        split_paths = self.paths[meta["scene_name"]][f"gs_{meta['gaussian_split']}"]
+        iter_name = list(split_paths["query"]["images"].keys())[meta["iter_idx"]]
+        img_idx = meta["img_idx"]
+
+        result = {
+            "query/img": split_paths["query"]["images"][iter_name][img_idx],
+            "query/score_map": split_paths["query"]["score_map"][iter_name][img_idx],
+            "reference/cross/imgs": [],
+        }
+        if self.sampler is not None:
+            ref_list = split_paths["reference"]["cross"]["images"][iter_name]
+            result["reference/cross/imgs"] = self.sampler(ref_list, rng)
+        return result
+
+
+class NvsDataset:
+    """Index + loader over one preprocessed NVS dataset root."""
+
+    def __init__(
+        self,
+        dataset_path: str,
+        resolution: Optional[str],
+        data_split: str,
+        neighbour_config: dict,
+        metric_type: str,
+        metric_min: int,
+        metric_max: int,
+        crop_size: Optional[int] = None,
+        crop_mode: Optional[str] = "dataset_default",
+        resize_short_side: int = -1,
+        deterministic_crop: bool = False,
+        num_gaussians_iters: int = -1,
+        zero_reference: bool = False,
+        return_item_paths: bool = False,
+    ):
+        if data_split not in ("train", "test", "val", "val_small", "test_small"):
+            raise ValueError(f"Unknown data_split {data_split}")
+        self.neighbour_config = dict(neighbour_config)
+        self.zero_reference = zero_reference
+        self.return_item_paths = return_item_paths
+        self.resize_short_side = resize_short_side
+        self.crop_mode = crop_mode
+        self.metric_config = self._build_metric_config(metric_type, metric_min, metric_max)
+
+        if crop_mode == "dataset_default":
+            if crop_size is None:
+                raise ValueError("crop_size required for crop_mode=dataset_default")
+            if resize_short_side > 0 and resize_short_side < crop_size:
+                raise ValueError(
+                    f"Required to resize image before crop, but resize_short_side "
+                    f"{resize_short_side} < crop_size {crop_size}"
+                )
+            self.query_crop = CropperSame((crop_size, crop_size), deterministic_crop)
+            self.reference_crop = CropperSeparate((crop_size, crop_size), deterministic_crop)
+        else:
+            self.query_crop = None
+            self.reference_crop = None
+
+        if resolution is None:
+            resolution = sorted(os.listdir(dataset_path))[0]
+        self.dataset_path = Path(dataset_path, resolution)
+
+        with open(self.dataset_path / "split.json") as f:
+            scene_names = json.load(f)[data_split]
+        scene_paths = [self.dataset_path / n for n in sorted(scene_names)]
+        scene_paths = [p for p in scene_paths if p.exists()]
+
+        self.all_paths = self.get_paths(
+            scene_paths, num_gaussians_iters, self.metric_config["load_dir"]
+        )
+        self.neighbour_selector = NeighbourSelector(self.all_paths, self.neighbour_config)
+
+    # ------------------------------------------------------------------ paths
+
+    @staticmethod
+    def _build_metric_config(metric_type, metric_min, metric_max) -> dict:
+        if metric_type in ("ssim", "mae"):
+            load_dir = f"metric_map/{metric_type}"
+        elif metric_type == "mse":
+            load_dir = "metric_map/mae"  # mse derived from mae
+        elif metric_type is None:
+            load_dir = None
+        else:
+            raise ValueError(f"Invalid metric type {metric_type}")
+        return {"type": metric_type, "vrange": [metric_min, metric_max], "load_dir": load_dir}
+
+    @staticmethod
+    def get_paths(scene_paths, num_gaussians_iters: int, metric_load_dir: Optional[str]) -> dict:
+        raw: dict = {}
+        for scene_path in scene_paths:
+            scene = scene_path.name
+            raw[scene] = {}
+            for gs_split in ("train", "test"):
+                dir_split = Path(scene_path, gs_split)
+                if not dir_split.exists():
+                    continue
+                iter_dirs = sorted(os.listdir(dir_split), key=lambda x: int(x.split("_")[-1]))
+                iter_dirs = [Path(dir_split, d) for d in iter_dirs]
+                if num_gaussians_iters > 0:
+                    iter_dirs = iter_dirs[:num_gaussians_iters]
+
+                per_split = {"renders": {}, "gt": {}, "score_map": {}}
+                for dir_iter in iter_dirs:
+                    iter_num = int(dir_iter.name.split("_")[-1])
+                    gt_dir = dir_iter / "gt"
+                    n_gt = len(os.listdir(gt_dir)) if gt_dir.exists() else 0
+                    for img_type in per_split:
+                        if img_type in ("renders", "gt"):
+                            img_dir = dir_iter / img_type
+                        else:
+                            img_dir = dir_iter / metric_load_dir if metric_load_dir else None
+                        if img_dir is not None and img_dir.exists():
+                            names = sorted(os.listdir(img_dir))
+                            paths = [str(img_dir / n) for n in names]
+                        else:
+                            paths = [EMPTY_IMAGE] * n_gt
+                        if len(paths) != n_gt:
+                            raise ValueError(
+                                f"Number of items mismatch in {scene}/{gs_split}/{iter_num}/{img_type}"
+                            )
+                        per_split[img_type][iter_num] = paths
+                raw[scene][gs_split] = per_split
+
+        results: dict = {}
+        for scene, splits in raw.items():
+            results[scene] = {}
+            for gs_split in ("train", "test"):
+                if gs_split not in splits:
+                    continue
+                cross_split = "test" if gs_split == "train" else "train"
+                if cross_split not in splits:
+                    continue
+                q = splits[gs_split]
+                r = splits[cross_split]
+                results[scene][f"gs_{gs_split}"] = {
+                    "query": {
+                        "images": q["renders"],
+                        "score_map": q["score_map"],
+                        "N_iters": len(q["renders"]),
+                        "N_imgs_per_iter": len(next(iter(q["renders"].values()), [])),
+                    },
+                    "reference": {
+                        "cross": {
+                            "images": r["gt"],
+                            "N_iters": len(r["gt"]),
+                            "N_imgs_per_iter": len(next(iter(r["gt"].values()), [])),
+                        }
+                    },
+                }
+        return results
+
+    # ------------------------------------------------------------------ items
+
+    def __len__(self) -> int:
+        return len(self.neighbour_selector)
+
+    def load_content(self, item_paths: dict) -> dict:
+        mc = self.metric_config
+        query = image_read(item_paths["query/img"])  # (H, W, 3)
+
+        sm_path = item_paths["query/score_map"]
+        if mc["type"] == "ssim":
+            if sm_path == EMPTY_IMAGE:
+                score_map = np.zeros(query.shape[:2], np.float32)
+            else:
+                score_map = metric_map_read(sm_path, vrange=[-1, 1])
+                if mc["vrange"] == [0, 1]:
+                    score_map = np.clip(score_map, 0, 1)
+        elif mc["type"] in ("mae", "mse"):
+            if sm_path == EMPTY_IMAGE:
+                score_map = np.full(query.shape[:2], np.nan, np.float32)
+            else:
+                score_map = metric_map_read(sm_path, vrange=[0, 1])
+                if mc["type"] == "mse":
+                    score_map = np.square(score_map)
+        else:  # None: SimpleReference — no GT maps
+            score_map = np.zeros(query.shape[:2], np.float32)
+
+        refs = []
+        for p in item_paths["reference/cross/imgs"]:
+            if p == EMPTY_IMAGE:
+                refs.append(np.zeros_like(query))
+            else:
+                refs.append(image_read(p))
+        ref_imgs = np.stack(refs) if refs else None
+        if ref_imgs is not None and self.zero_reference:
+            ref_imgs = np.zeros_like(ref_imgs)
+        return {"query/img": query, "query/score_map": score_map, "reference/cross/imgs": ref_imgs}
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        """Resize so the SHORT side == resize_short_side (torchvision semantics)."""
+        s = self.resize_short_side
+        h, w = img.shape[:2]
+        if min(h, w) == s:
+            return img
+        if h <= w:
+            out_h, out_w = s, max(1, round(w * s / h))
+        else:
+            out_h, out_w = max(1, round(h * s / w)), s
+        return resize_bilinear_antialias(img, out_h, out_w)
+
+    def get_item(self, idx: int, rng: np.random.Generator) -> dict:
+        item_paths = self.neighbour_selector.select(idx, rng)
+        content = self.load_content(item_paths)
+
+        q = content["query/img"]
+        sm = content["query/score_map"]
+        refs = content["reference/cross/imgs"]
+
+        if self.resize_short_side > 0:
+            q = self._resize(q)
+            sm = self._resize(sm)
+            if refs is not None:
+                refs = np.stack([self._resize(r) for r in refs])
+
+        if self.crop_mode == "integer_patches":
+            p = 14
+            nh, nw = q.shape[0] - q.shape[0] % p, q.shape[1] - q.shape[1] % p
+            q, sm = q[:nh, :nw], sm[:nh, :nw]
+            if refs is not None:
+                refs = refs[:, :nh, :nw]
+
+        if self.query_crop is not None:
+            res = self.query_crop(q, sm, rng=rng)
+            q, sm = res["out"]
+        if self.reference_crop is not None and refs is not None:
+            refs = self.reference_crop(refs, rng=rng)["out"]
+
+        out = {
+            "query/img": normalize_imagenet(q).astype(np.float32),
+            "query/score_map": sm.astype(np.float32),
+        }
+        if refs is not None:
+            out["reference/cross/imgs"] = normalize_imagenet(refs).astype(np.float32)
+        if self.return_item_paths:
+            out["item_paths"] = item_paths
+        return out
+
+
+def get_dataset(cfg, data_split: str, return_item_paths: bool = False, crop_mode="dataset_default",
+                deterministic_crop: bool = False, resize_short_side: int = -1):
+    """Dataset factory (parity with reference ``dataloading/data_manager.py:7-41``):
+    one NvsDataset per configured root, concatenated."""
+    paths = cfg.data.dataset.path
+    if isinstance(paths, str):
+        paths = [paths]
+
+    datasets = [
+        NvsDataset(
+            dataset_path=p,
+            resolution=cfg.data.dataset.resolution,
+            data_split=data_split,
+            neighbour_config=cfg.data.neighbour_config,
+            metric_type=cfg.model.predict.metric.type,
+            metric_min=cfg.model.predict.metric.min,
+            metric_max=cfg.model.predict.metric.max,
+            crop_size=cfg.data.transforms.crop_size,
+            crop_mode=crop_mode,
+            resize_short_side=resize_short_side,
+            deterministic_crop=deterministic_crop,
+            num_gaussians_iters=cfg.data.dataset.num_gaussians_iters,
+            zero_reference=cfg.data.dataset.zero_reference,
+            return_item_paths=return_item_paths,
+        )
+        for p in paths
+    ]
+    if len(datasets) == 1:
+        return datasets[0]
+    return ConcatDataset(datasets)
+
+
+class ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self._offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def get_item(self, idx: int, rng: np.random.Generator) -> dict:
+        d = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.datasets[d].get_item(idx - int(self._offsets[d]), rng)

@@ -1,0 +1,214 @@
+"""Fused flash cross-attention for the (query patches) x (K*N reference tokens) axis.
+
+The reference runs this as one dense torch ``MultiheadAttention`` call
+(reference ``model/customised_transformer/transformer.py:195-205``), which
+materialises a (B, H, 1369, K*1369) score matrix — at K=8/518px that is
+~170 MB bf16 per batch item per layer. This kernel streams reference-token
+blocks through VMEM with an online softmax, so HBM traffic is O(Q + KV + O)
+and the scores tile never leaves VMEM.
+
+Design (see /opt/skills/guides/pallas_guide.md + boom_attention_tricks.md):
+- grid (B*H, Nq/block_q, Nk/block_k): batch*head and query blocks parallel
+  (megacore), the KV axis sequential (online-softmax reduction).
+- fp32 running max/sum/accumulator in VMEM scratch; bf16 QK^T/PV matmuls with
+  fp32 ``preferred_element_type``.
+- KV padding masked with a large negative constant (not -inf, avoids NaN).
+- Forward also emits the (m, l) softmax statistics as residuals; the backward
+  pass is a `lax.scan` over KV blocks in plain XLA (recomputes score tiles
+  per block, never materialising the full matrix) — flash-style memory for
+  training without a hand-written backward kernel.
+
+Head-dim handling: CrossScore's head_dim is 48 (=384/8); Mosaic pads the lane
+dimension internally. Block sizes stay multiples of 128 on the token axes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr, *,
+                sm_scale: float, kv_valid: int, block_k: int):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, hd)
+    k = k_ref[0]  # (bk, hd)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    s = s * sm_scale
+
+    # mask padded reference tokens (static: padding only in the last block)
+    col0 = kv_idx * block_k
+    if True:  # masking is cheap; keep unconditional for simplicity & safety
+        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < kv_valid, s, NEG_INF)
+
+    m_prev = m_scr[...]  # (bq, LANES) replicated
+    l_prev = l_scr[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)  # (bq, LANES)
+    p = jnp.exp(s - m_next[:, :1])  # (bq, bk)
+    l_curr = jnp.sum(p, axis=1, keepdims=True)  # (bq, 1)
+    l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
+
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    v = v_ref[0]  # (bk, hd)
+    o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + o_curr
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l_fin = l_scr[...]
+        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        o_ref[0] = (acc_scr[...] * l_inv[:, : acc_scr.shape[-1]]).astype(o_ref.dtype)
+        l_ref[0] = l_fin[:, :1].astype(l_ref.dtype)
+        m_ref[0] = m_scr[...][:, :1].astype(m_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024):
+    """q: (B, H, Nq, hd); k, v: (B, H, Nk, hd) -> (o, l, m) with padding stripped."""
+    b, h, nq, hd = q.shape
+    nk = k.shape[2]
+    sm_scale = 1.0 / (hd ** 0.5)
+
+    nq_p = _ceil_to(nq, block_q)
+    nk_p = _ceil_to(nk, block_k)
+    bh = b * h
+
+    qf = jnp.pad(q.reshape(bh, nq, hd), ((0, 0), (0, nq_p - nq), (0, 0)))
+    kf = jnp.pad(k.reshape(bh, nk, hd), ((0, 0), (0, nk_p - nk), (0, 0)))
+    vf = jnp.pad(v.reshape(bh, nk, hd), ((0, 0), (0, nk_p - nk), (0, 0)))
+
+    grid = (bh, nq_p // block_q, nk_p // block_k)
+
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, kv_valid=nk, block_k=block_k
+    )
+    o, l, m = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh_, qi, ki: (bh_, ki, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh_, qi, ki: (bh_, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_p, hd), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq_p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq_p, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qf, kf, vf)
+
+    o = o.reshape(b, h, nq_p, hd)[:, :, :nq]
+    l = l.reshape(b, h, nq_p)[:, :, :nq]
+    m = m.reshape(b, h, nq_p)[:, :, :nq]
+    return o, l, m
+
+
+def _bwd_xla(residuals, do, *, block_k: int):
+    """Flash-style backward in plain XLA: scan over KV blocks, recomputing
+    score tiles. Memory per step is O(Nq x block_k); the full score matrix is
+    never materialised."""
+    q, k, v, o, l, m = residuals
+    b, h, nq, hd = q.shape
+    nk = k.shape[2]
+    sm_scale = 1.0 / (hd ** 0.5)
+
+    nk_p = _ceil_to(nk, block_k)
+    pad = nk_p - nk
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n_blocks = nk_p // block_k
+
+    qf32 = q.astype(jnp.float32)
+    dof32 = do.astype(jnp.float32)
+    # D_i = sum_d o_i * do_i  (rowwise)
+    delta = jnp.sum(o.astype(jnp.float32) * dof32, axis=-1)  # (B,H,Nq)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+
+    kb = kf.reshape(b, h, n_blocks, block_k, hd).transpose(2, 0, 1, 3, 4)
+    vb = vf.reshape(b, h, n_blocks, block_k, hd).transpose(2, 0, 1, 3, 4)
+    col_base = jnp.arange(n_blocks) * block_k
+
+    def step(dq_acc, xs):
+        kj, vj, c0 = xs  # (B,H,bk,hd) x2, scalar
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf32, kj.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * sm_scale
+        col_ids = c0 + jnp.arange(block_k)
+        valid = (col_ids < nk)[None, None, None, :]
+        p = jnp.where(valid, jnp.exp(s - m[..., None]) / l_safe[..., None], 0.0)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", dof32, vj.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[..., None]) * sm_scale
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, kj.astype(jnp.float32),
+                                     preferred_element_type=jnp.float32)
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf32, preferred_element_type=jnp.float32)
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, dof32, preferred_element_type=jnp.float32)
+        return dq_acc, (dk_j, dv_j)
+
+    dq0 = jnp.zeros((b, h, nq, hd), jnp.float32)
+    dq, (dk_b, dv_b) = jax.lax.scan(step, dq0, (kb, vb, col_base))
+    dk = dk_b.transpose(1, 2, 0, 3, 4).reshape(b, h, nk_p, hd)[:, :, :nk]
+    dv = dv_b.transpose(1, 2, 0, 3, 4).reshape(b, h, nk_p, hd)[:, :, :nk]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_cross_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
+    """Fused attention: softmax(q k^T / sqrt(hd)) v over the reference axis.
+
+    q: (B, H, Nq, hd); k, v: (B, H, Nk, hd). Returns (B, H, Nq, hd).
+    """
+    o, _, _ = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k)
+    return o
+
+
+def _fca_fwd(q, k, v, block_q, block_k):
+    o, l, m = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k)
+    return o, (q, k, v, o, l, m)
+
+
+def _fca_bwd(block_q, block_k, residuals, do):
+    return _bwd_xla(residuals, do, block_k=block_k)
+
+
+flash_cross_attention.defvjp(_fca_fwd, _fca_bwd)

@@ -1,0 +1,92 @@
+"""Device mesh + sharding strategy.
+
+The reference scales with Lightning DDP over NCCL (reference
+``task/train.py:109-114``). TPU-native equivalent: single-controller SPMD —
+one jitted step over a ``jax.sharding.Mesh``; XLA inserts the gradient
+all-reduce over ICI from the sharding annotations (no explicit collectives).
+
+Axes:
+- ``data``: batch-dim sharding (DP). Gradients all-reduce automatically.
+- ``model`` (optional): Megatron-style tensor parallelism for the decoder and
+  backbone MLP/attention projections — column-parallel first matmul
+  (kernel sharded on output dim), row-parallel second matmul (input dim), with
+  XLA inserting the psum. The 384-dim model doesn't need TP at production
+  scale, but the ViT-L / 2x-resolution stress configs (BASELINE.json config 5)
+  do, and the same annotations serve both.
+
+Multi-host: ``jax.distributed.initialize`` + per-host data sharding is handled
+by the caller (tasks/train.py); ``process_index() == 0`` replaces the
+reference's ``rank_zero_only`` gating.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """1-D ``(data,)`` mesh, or 2-D ``(data, model)`` when model_parallel > 1."""
+    devices = jax.devices()
+    n = len(devices) if n_devices in (None, -1) else n_devices
+    devices = np.asarray(devices[:n])
+    if model_parallel > 1:
+        if n % model_parallel:
+            raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+        return Mesh(devices.reshape(n // model_parallel, model_parallel), ("data", "model"))
+    return Mesh(devices, ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Put a host batch onto the mesh, sharded along the batch dimension."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def _tp_spec_for(path: tuple, leaf) -> P:
+    """Tensor-parallel PartitionSpec for one param leaf (2-D mesh only).
+
+    Column-parallel: qkv/q/k/v projections, MLP fc1/linear1, head_fc1
+    (kernel (in, out) -> P(None, 'model')). Row-parallel: out projections,
+    fc2/linear2 (kernel -> P('model', None)); their biases stay replicated and
+    XLA produces the partial-sum psum.
+    """
+    names = [str(p) for p in path]
+    joined = "/".join(names)
+    is_kernel = names[-1] == "kernel"
+    if not is_kernel or getattr(leaf, "ndim", 0) != 2:
+        return P()
+    col = any(t in joined for t in ("qkv", "q_proj", "k_proj", "v_proj", "fc1", "linear1"))
+    row = any(t in joined for t in ("out", "out_proj", "fc2", "linear2"))
+    if col:
+        return P(None, "model")
+    if row:
+        return P("model", None)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedShardings for a param tree: replicated on a 1-D mesh; Megatron-style
+    TP on the ``model`` axis of a 2-D mesh."""
+    has_model_axis = "model" in mesh.axis_names
+
+    def spec(path, leaf):
+        if not has_model_axis:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _tp_spec_for(tuple(p.key for p in path), leaf))
+
+    return jax.tree_util.tree_map_with_path(spec, params)

@@ -1,0 +1,163 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig, ViTConfig
+from crossscore_tpu.parallel import make_mesh, param_shardings, batch_sharding, shard_batch
+from crossscore_tpu.train import make_optimizer, make_train_step, make_eval_step, create_train_state
+from crossscore_tpu.confsys import load_config
+
+VIT = ViTConfig(hidden_size=64, num_layers=2, num_heads=4, patch_size=14, image_size=56)
+MCFG = CrossScoreConfig(backbone=VIT, pe_h=6, pe_w=6, decoder_heads=4)
+
+
+def _batch(rng, b, hw=56, k=2):
+    return {
+        "query/img": jnp.asarray(rng.standard_normal((b, hw, hw, 3)).astype(np.float32)),
+        "reference/cross/imgs": jnp.asarray(
+            rng.standard_normal((b, k, hw, hw, 3)).astype(np.float32)
+        ),
+        "query/score_map": jnp.asarray(rng.random((b, hw, hw)).astype(np.float32)),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = CrossScoreNet(MCFG)
+    rng = np.random.default_rng(0)
+    b = _batch(rng, 1)
+    params = model.init(jax.random.PRNGKey(0), b["query/img"], b["reference/cross/imgs"])[
+        "params"
+    ]
+    return model, params
+
+
+class TestMesh:
+    def test_8_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_1d_mesh(self):
+        mesh = make_mesh()
+        assert mesh.axis_names == ("data",)
+        assert mesh.devices.shape == (8,)
+
+    def test_2d_mesh(self):
+        mesh = make_mesh(8, model_parallel=2)
+        assert mesh.axis_names == ("data", "model")
+        assert mesh.devices.shape == (4, 2)
+
+    def test_tp_specs(self, model_and_params):
+        _, params = model_and_params
+        mesh = make_mesh(8, model_parallel=2)
+        sh = param_shardings(params, mesh)
+        assert sh["decoder"]["layer_0"]["cross_attn"]["q_proj"]["kernel"].spec == P(None, "model")
+        assert sh["decoder"]["layer_0"]["cross_attn"]["out_proj"]["kernel"].spec == P("model", None)
+        assert sh["backbone"]["block_0"]["attn"]["qkv"]["kernel"].spec == P(None, "model")
+        assert sh["backbone"]["block_0"]["fc2"]["kernel"].spec == P("model", None)
+        # biases / LN replicated
+        assert sh["decoder"]["layer_0"]["norm1"]["scale"].spec == P()
+
+
+class TestSPMDTrainStep:
+    def test_dp_step_matches_single_device(self, model_and_params):
+        """Data-parallel sharded step == unsharded step (same numerics)."""
+        model, params = model_and_params
+        cfg = load_config("default")
+        tx, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        rng = np.random.default_rng(1)
+        batch = _batch(rng, 8)
+
+        step = make_train_step(model, tx)
+
+        # single-device reference
+        state0 = create_train_state(params, tx)
+        ref_state, ref_metrics = jax.jit(step)(state0, batch)
+
+        # sharded
+        mesh = make_mesh()
+        state1 = create_train_state(params, tx)
+        state1 = jax.device_put(state1, NamedSharding(mesh, P()))
+        sbatch = shard_batch(batch, mesh)
+        new_state, metrics = jax.jit(step)(state1, sbatch)
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-6
+        )
+        a = jax.tree_util.tree_leaves(ref_state.params)
+        b = jax.tree_util.tree_leaves(new_state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+    def test_frozen_params_not_updated(self, model_and_params):
+        model, params = model_and_params
+        cfg = load_config("default")
+        tx, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        state = create_train_state(params, tx)
+        batch = _batch(np.random.default_rng(2), 4)
+        new_state, _ = jax.jit(make_train_step(model, tx))(state, batch)
+
+        # backbone + PE unchanged
+        for key in ["backbone", "pos_enc"]:
+            before = jax.tree_util.tree_leaves(params[key])
+            after = jax.tree_util.tree_leaves(new_state.params[key])
+            for x, y in zip(before, after):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # decoder/head did change
+        assert not np.allclose(
+            np.asarray(params["head_fc2"]["kernel"]),
+            np.asarray(new_state.params["head_fc2"]["kernel"]),
+        )
+
+    def test_tp_step_matches_dp(self, model_and_params):
+        """2-D (data x model) TP-sharded step reproduces the replicated step."""
+        model, params = model_and_params
+        cfg = load_config("default")
+        tx, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        batch = _batch(np.random.default_rng(3), 4)
+
+        step = make_train_step(model, tx)
+        ref_state, ref_metrics = jax.jit(step)(create_train_state(params, tx), batch)
+
+        mesh = make_mesh(8, model_parallel=2)
+        p_shard = param_shardings(params, mesh)
+        sparams = jax.device_put(params, p_shard)
+        state = create_train_state(sparams, tx)
+        sbatch = shard_batch(batch, mesh)
+        new_state, metrics = jax.jit(step)(state, sbatch)
+
+        np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["head_fc2"]["kernel"]),
+            np.asarray(ref_state.params["head_fc2"]["kernel"]),
+            atol=1e-5,
+        )
+
+
+class TestEvalStep:
+    def test_eval_metrics(self, model_and_params):
+        model, params = model_and_params
+        batch = _batch(np.random.default_rng(4), 2)
+        pred, metrics = jax.jit(make_eval_step(model))(params, batch)
+        assert pred.shape == (2, 56, 56)
+        assert np.isfinite(float(metrics["loss"]))
+        assert -1.0 <= float(metrics["correlation_cross"]) <= 1.0
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parents[1]))
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_dryrun_odd_devices(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(2)
