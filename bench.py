@@ -34,6 +34,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from crossscore_tpu.confsys import load_config
     from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
 

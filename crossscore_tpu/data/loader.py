@@ -31,6 +31,11 @@ import numpy as np
 _PERM_SENTINEL = 2**31  # index slot used for the epoch permutation RNG
 
 
+class _ProducerError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def _fold_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, epoch, index]))
 
@@ -116,7 +121,23 @@ class Loader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """put that aborts when the consumer has gone away (early break)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
+            try:
+                _produce_inner()
+            except BaseException as e:  # surface worker errors to the consumer
+                put_checked(_ProducerError(e))
+
+        def _produce_inner():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for chunk in batch_slices:
                     if stop.is_set():
@@ -141,22 +162,34 @@ class Loader:
                             k: (jax.device_put(v, self.sharding) if isinstance(v, np.ndarray) and v.ndim > 0 else v)
                             for k, v in batch.items()
                         }
-                    out_q.put(batch)
-            out_q.put(None)
+                    if not put_checked(batch):
+                        return
+            try:
+                out_q.put_nowait(None)
+            except queue.Full:
+                pass  # consumer is draining; it checks producer liveness
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
         try:
             while True:
-                batch = out_q.get()
+                try:
+                    batch = out_q.get(timeout=0.5)
+                except queue.Empty:
+                    if not producer.is_alive():
+                        break
+                    continue
                 if batch is None:
                     break
+                if isinstance(batch, _ProducerError):
+                    raise batch.exc
                 yield batch
         finally:
             stop.set()
-            # drain so the producer can exit
+            # unblock and reap the producer so no pool threads linger
             while producer.is_alive():
                 try:
                     out_q.get_nowait()
                 except queue.Empty:
-                    break
+                    pass
+                producer.join(timeout=0.2)

@@ -49,6 +49,8 @@ VIT_PRESETS: dict[str, ViTConfig] = {
     "dinov2-small": ViTConfig(hidden_size=384, num_layers=12, num_heads=6),
     "dinov2-base": ViTConfig(hidden_size=768, num_layers=12, num_heads=12),
     "dinov2-large": ViTConfig(hidden_size=1024, num_layers=24, num_heads=16),
+    # tiny preset for CI / smoke runs
+    "dinov2-test": ViTConfig(hidden_size=64, num_layers=2, num_heads=4, image_size=56),
 }
 
 
@@ -141,7 +143,9 @@ class Dinov2Encoder(nn.Module):
         native = c.image_size // p
 
         # --- patch embedding as one MXU matmul ---
-        x = images.astype(self.dtype)
+        # slice to integer patches (== torch strided-conv floor semantics for
+        # arbitrary input sizes, e.g. 518x918 predict-path images)
+        x = images[:, : gh * p, : gw * p].astype(self.dtype)
         x = x.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, n, p * p * 3)
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="patch_proj")(x)

@@ -31,10 +31,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
-    """1-D ``(data,)`` mesh, or 2-D ``(data, model)`` when model_parallel > 1."""
+    """1-D ``(data,)`` mesh, or 2-D ``(data, model)`` when model_parallel > 1.
+
+    If ``batch_size`` is given, the data axis is clamped to the largest device
+    count that divides it (per-device batches must be equal under SPMD).
+    """
     devices = jax.devices()
     n = len(devices) if n_devices in (None, -1) else n_devices
+    if batch_size is not None:
+        data_par = n // model_parallel
+        while data_par > 1 and batch_size % data_par:
+            data_par -= 1
+        n = data_par * model_parallel
     devices = np.asarray(devices[:n])
     if model_parallel > 1:
         if n % model_parallel:

@@ -1,0 +1,130 @@
+"""Shared task-entry plumbing: CLI parsing, param loading, run dirs, logging."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from crossscore_tpu.confsys import Config, load_config, set_key
+
+
+def parse_cli(config_name: str, argv: Optional[list[str]] = None) -> Config:
+    """Hydra-style CLI: every argument is a ``key.sub=value`` override."""
+    argv = sys.argv[1:] if argv is None else argv
+    return load_config(config_name, overrides=argv)
+
+
+def timestamp() -> str:
+    return datetime.now().strftime("%Y%m%d_%H%M%S.%f")
+
+
+def apply_accelerator(cfg: Config) -> None:
+    """Honour ``trainer.accelerator`` (cpu | tpu | auto). Must run before the
+    first jax computation. Note: in this environment the JAX_PLATFORMS env var
+    is pinned externally — the config API is the only reliable override."""
+    accel = cfg.trainer.get("accelerator", "auto")
+    if accel == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def resolve_out_dir(cfg: Config, phase: str) -> Path:
+    """Reference semantics (``task/predict.py:47-65``): out dir derives from
+    the checkpoint location, or a fresh log/<ts> tree when no ckpt is given."""
+    if cfg.trainer.ckpt_path_to_load is None:
+        log_dir = Path("log") / timestamp() / f"{phase}_empty_ckpt"
+    else:
+        log_dir = Path(cfg.trainer.ckpt_path_to_load).parents[1] / phase
+    log_dir.mkdir(parents=True, exist_ok=True)
+
+    configured = cfg.logger[phase].out_dir
+    if configured is None:
+        out_dir = log_dir / timestamp()
+        if cfg.alias:
+            out_dir = Path(str(out_dir) + f"_{cfg.alias}")
+        set_key(cfg, f"logger.{phase}.out_dir", str(out_dir))
+    out_dir = Path(cfg.logger[phase].out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    return out_dir
+
+
+def load_model_params(cfg: Config, model, example_batch) -> dict:
+    """Load params from cfg.trainer.ckpt_path_to_load:
+
+    - ``*.ckpt``  -> torch Lightning checkpoint, converted on the fly
+    - directory   -> orbax checkpoint (params tree, or a train-state dir
+                     written by tasks/train.py whose ``params`` subtree is used)
+    - null        -> randomly initialised (warns loudly)
+    """
+    import jax
+
+    ckpt = cfg.trainer.ckpt_path_to_load
+    refs = example_batch.get("reference/cross/imgs")
+    init_params = model.init(
+        jax.random.PRNGKey(cfg.seed),
+        example_batch["query/img"][:1],
+        refs[:1] if refs is not None else None,
+    )["params"]
+
+    if ckpt is None:
+        print("WARNING: no checkpoint given (trainer.ckpt_path_to_load=null); "
+              "using RANDOM weights.")
+        return init_params
+
+    ckpt = Path(ckpt)
+    if ckpt.suffix == ".ckpt":
+        from crossscore_tpu.io.torch_convert import load_torch_checkpoint, convert_lightning_ckpt
+
+        sd = load_torch_checkpoint(str(ckpt))
+        vit = model.cfg.backbone
+        params = convert_lightning_ckpt(
+            sd,
+            num_backbone_layers=vit.num_layers,
+            num_decoder_layers=model.cfg.decoder_layers,
+            d_model=vit.hidden_size,
+            do_self_attn=model.cfg.do_self_attn,
+        )
+        return jax.tree_util.tree_map(lambda i, p: np.asarray(p, dtype=i.dtype), init_params, params)
+
+    from crossscore_tpu.io.checkpoint import load_params
+
+    restored = load_params(ckpt, like=init_params)
+    if isinstance(restored, dict) and "params" in restored and "backbone" not in restored:
+        restored = restored["params"]
+    return restored
+
+
+class JsonlLogger:
+    """Scalar metric logging to <run_dir>/metrics.jsonl (+ optional wandb)."""
+
+    def __init__(self, run_dir: Path, cfg: Config, use_wandb: bool = False):
+        self.path = Path(run_dir) / "metrics.jsonl"
+        self.f = open(self.path, "a")
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(project=cfg.project.name, dir=str(run_dir))
+            except Exception as e:  # offline env: fall back to jsonl only
+                print(f"wandb unavailable ({e}); logging to {self.path} only")
+
+    def log(self, metrics: dict, step: int):
+        row = {"step": step, "time": time.time()}
+        row.update({k: float(v) for k, v in metrics.items()})
+        self.f.write(json.dumps(row) + "\n")
+        self.f.flush()
+        if self.wandb is not None:
+            self.wandb.log(metrics, step=step)
+
+    def close(self):
+        self.f.close()
+        if self.wandb is not None:
+            self.wandb.finish()

@@ -1,0 +1,130 @@
+"""Predict entry point: score-map inference from bare query/reference dirs.
+
+Public interface parity with reference ``task/predict.py`` + ``predict.sh``:
+
+    python -m crossscore_tpu.tasks.predict \\
+        trainer.ckpt_path_to_load=<orbax dir | lightning .ckpt> \\
+        data.dataset.query_dir=<dir> data.dataset.reference_dir=<dir> alias=<name>
+
+Outputs (same layout as the reference): ``<out_dir>/vis/r0_B****_b0.png``
+figures, ``<out_dir>/batch/score_map_ref_cross/*.png`` score maps,
+``image_query/``, ``image_reference/``, ``score_summary/<dataset>/<method>.csv``.
+
+TPU-native execution: one jitted forward graph (frozen backbone + fused
+Pallas cross-attention decoder, bf16), batches prefetched by the threaded host
+loader and H2D-transferred asynchronously.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from crossscore_tpu.tasks.common import parse_cli, resolve_out_dir, load_model_params
+
+
+def predict(cfg) -> Path:
+    import jax
+
+    from crossscore_tpu.tasks.common import apply_accelerator
+    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    apply_accelerator(cfg)
+    enable_compile_cache()
+
+    from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+    from crossscore_tpu.data import SimpleReference, Loader
+    from crossscore_tpu.io.batch_writer import BatchWriter
+    from crossscore_tpu.io.summariser import SummaryWriterPredictedOnlineTestPrediction
+    from crossscore_tpu.utils.check_config import ConfigChecker
+    from crossscore_tpu.utils.vis import make_visualiser
+    from crossscore_tpu.train.step import make_predict_step
+
+    ConfigChecker(cfg).check_predict()
+    out_dir = resolve_out_dir(cfg, "predict")
+    (out_dir / "vis").mkdir(parents=True, exist_ok=True)
+
+    dataset = SimpleReference(
+        query_dir=cfg.data.dataset.query_dir,
+        reference_dir=cfg.data.dataset.reference_dir,
+        neighbour_config=cfg.data.neighbour_config,
+        crop_size=cfg.data.transforms.crop_size,
+        crop_mode=cfg.this_main.crop_mode,
+        resize_short_side=cfg.this_main.resize_short_side,
+        zero_reference=cfg.data.dataset.zero_reference,
+        return_item_paths=True,
+    )
+    loader = Loader(
+        dataset,
+        batch_size=cfg.data.loader.validation.batch_size,
+        shuffle=False,
+        num_workers=cfg.data.loader.validation.num_workers,
+        prefetch_batches=cfg.data.loader.validation.prefetch_factor,
+        seed=cfg.seed,
+    )
+
+    mcfg = CrossScoreConfig.from_config(cfg)
+    model = CrossScoreNet(mcfg)
+
+    first = dataset.get_item(0, np.random.default_rng(cfg.seed))
+    example = {
+        "query/img": first["query/img"][None],
+        "reference/cross/imgs": first["reference/cross/imgs"][None],
+    }
+    params = load_model_params(cfg, model, example)
+
+    writer = BatchWriter(cfg, "predict") if cfg.logger.predict.write.flag.batch else None
+    summariser = SummaryWriterPredictedOnlineTestPrediction(
+        metric_type=cfg.model.predict.metric.type,
+        metric_min=cfg.model.predict.metric.min,
+        dir_out=str(out_dir),
+    )
+    visualiser = make_visualiser(cfg)
+
+    step = jax.jit(
+        make_predict_step(
+            model,
+            need_attn_weights=cfg.model.need_attn_weights,
+            head_id=cfg.model.need_attn_weights_head_id,
+        )
+    )
+
+    vis_every = cfg.logger.predict.write.config.vis_img_every_n_steps
+    n_batches = 0
+    limit = cfg.trainer.limit_test_batches
+    max_batches = (
+        int(limit) if isinstance(limit, int) and limit != 1
+        else (int(limit * loader.batches_per_epoch()) if isinstance(limit, float) else None)
+    )
+
+    for batch_idx, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and batch_idx >= max_batches:
+            break
+        outputs = step(params, batch["query/img"], batch.get("reference/cross/imgs"))
+        outputs = {k: np.asarray(v, dtype=np.float32) for k, v in outputs.items()}
+
+        summariser.update(batch_input=batch, batch_output=outputs)
+        if vis_every > 0 and batch_idx % vis_every == 0:
+            import matplotlib.pyplot as plt
+
+            fig = visualiser.vis(batch, outputs)
+            fig.savefig(out_dir / "vis" / f"r0_B{batch_idx:04}_b0.png")
+            plt.close(fig)
+        if writer is not None:
+            writer.write_out(batch, outputs, local_rank=0, batch_idx=batch_idx)
+        n_batches += 1
+
+    summariser.summarise()
+    print(f"predict done: {n_batches} batches -> {out_dir}")
+    return out_dir
+
+
+def main(argv=None):
+    cfg = parse_cli("default_predict", argv)
+    return predict(cfg)
+
+
+if __name__ == "__main__":
+    main()

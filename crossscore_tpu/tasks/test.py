@@ -1,0 +1,138 @@
+"""Test/eval entry point: metrics against GT score maps over the NVS tree.
+
+Public interface parity with reference ``task/test.py``:
+
+    python -m crossscore_tpu.tasks.test \\
+        trainer.ckpt_path_to_load=<ckpt> data.dataset.path=<root> \\
+        this_main.data_split=test
+
+Computes L1 loss, PSNR-from-L1 and Pearson correlation per batch, writes
+``metrics.csv`` (CSVLogger-equivalent), per-frame score summaries, gray uint16
+score-map PNGs and item-path JSONs — same on-disk layout as the reference.
+Images are integer-patch cropped (``crop_mode=integer_patches``) so arbitrary
+sizes evaluate without resampling the GT maps.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import numpy as np
+
+from crossscore_tpu.tasks.common import parse_cli, resolve_out_dir, load_model_params
+
+
+def test(cfg) -> Path:
+    import jax
+
+    from crossscore_tpu.tasks.common import apply_accelerator
+    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    apply_accelerator(cfg)
+    enable_compile_cache()
+
+    from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+    from crossscore_tpu.data import Loader
+    from crossscore_tpu.data.nvs_index import get_dataset
+    from crossscore_tpu.io.batch_writer import BatchWriter
+    from crossscore_tpu.io.summariser import SummaryWriterPredictedOnlineTestPrediction
+    from crossscore_tpu.utils.check_config import ConfigChecker
+    from crossscore_tpu.utils.vis import make_visualiser
+    from crossscore_tpu.train.step import make_eval_step
+
+    ConfigChecker(cfg).check_test()
+    out_dir = resolve_out_dir(cfg, "test")
+    (out_dir / "vis").mkdir(parents=True, exist_ok=True)
+
+    dataset = get_dataset(
+        cfg,
+        cfg.this_main.data_split,
+        return_item_paths=True,
+        crop_mode=cfg.this_main.crop_mode,
+        resize_short_side=cfg.this_main.resize_short_side,
+        deterministic_crop=True,
+    )
+    loader = Loader(
+        dataset,
+        batch_size=cfg.data.loader.validation.batch_size,
+        shuffle=False,
+        num_workers=cfg.data.loader.validation.num_workers,
+        prefetch_batches=cfg.data.loader.validation.prefetch_factor,
+        seed=cfg.seed,
+    )
+
+    mcfg = CrossScoreConfig.from_config(cfg)
+    model = CrossScoreNet(mcfg)
+    first = dataset.get_item(0, np.random.default_rng(cfg.seed))
+    example = {
+        "query/img": first["query/img"][None],
+        "reference/cross/imgs": first["reference/cross/imgs"][None],
+    }
+    params = load_model_params(cfg, model, example)
+
+    writer = BatchWriter(cfg, "test") if cfg.logger.test.write.flag.batch else None
+    summariser = SummaryWriterPredictedOnlineTestPrediction(
+        metric_type=cfg.model.predict.metric.type,
+        metric_min=cfg.model.predict.metric.min,
+        dir_out=str(out_dir),
+    )
+    visualiser = make_visualiser(cfg)
+    eval_step = jax.jit(make_eval_step(model))
+
+    vis_every = cfg.logger.test.write.config.vis_img_every_n_steps
+    limit = cfg.trainer.limit_test_batches
+    max_batches = (
+        int(limit) if isinstance(limit, int) and limit != 1
+        else (int(limit * loader.batches_per_epoch()) if isinstance(limit, float) else None)
+    )
+
+    rows = []
+    for batch_idx, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and batch_idx >= max_batches:
+            break
+        arrays = {k: v for k, v in batch.items() if k not in ("item_paths", "_valid")}
+        pred, metrics = eval_step(params, arrays)
+        outputs = {"score_map_ref_cross": np.asarray(pred, dtype=np.float32)}
+        row = {
+            "batch_idx": batch_idx,
+            "test/loss": float(metrics["loss"]),
+            "test/loss_cross": float(metrics["loss_cross"]),
+            "test/corr_cross": float(metrics["correlation_cross"]),
+            "test/psnr_cross": float(metrics["psnr_cross"]),
+        }
+        rows.append(row)
+        summariser.update(batch_input=batch, batch_output=outputs)
+
+        if vis_every > 0 and batch_idx % vis_every == 0:
+            import matplotlib.pyplot as plt
+
+            fig = visualiser.vis(batch, outputs)
+            fig.savefig(out_dir / "vis" / f"r0_B{batch_idx:04}_b0.png")
+            plt.close(fig)
+        if writer is not None:
+            writer.write_out(batch, outputs, local_rank=0, batch_idx=batch_idx)
+
+    # CSVLogger-equivalent epoch metrics
+    if rows:
+        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0] if k != "batch_idx"}
+        with open(out_dir / "metrics.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+            agg_row = {"batch_idx": "mean", **{k: round(v, 6) for k, v in agg.items()}}
+            w.writerow(agg_row)
+        print("test metrics:", agg)
+
+    summariser.summarise()
+    print(f"test done: {len(rows)} batches -> {out_dir}")
+    return out_dir
+
+
+def main(argv=None):
+    cfg = parse_cli("default_test", argv)
+    return test(cfg)
+
+
+if __name__ == "__main__":
+    main()

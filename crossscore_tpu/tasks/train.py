@@ -1,0 +1,283 @@
+"""Training entry point: data-parallel SPMD training over the device mesh.
+
+Public interface parity with reference ``task/train.py``:
+
+    python -m crossscore_tpu.tasks.train data.dataset.path=[<root>] alias=run1 \\
+        trainer.max_epochs=9 trainer.optimizer.lr=5e-4
+
+TPU-native execution model (replaces Lightning DDP, reference
+``task/train.py:109-114``): ONE jitted train step (forward incl. frozen
+backbone, L1 loss, backward, masked AdamW) compiled once over a 1-D ``data``
+mesh; batches arrive sharded on the batch dim, params replicated; XLA inserts
+the gradient all-reduce over ICI. Multi-host runs call
+``jax.distributed.initialize`` (``trainer.multi_host=true``) and shard the
+index space per host; only process 0 writes logs/checkpoints.
+
+Checkpointing: orbax, wall-clock interval (default 2h) + save_last, keeping
+the full train state (params, Adam moments, step) — resume with
+``trainer.ckpt_path_to_load=<run_dir>/ckpt``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from crossscore_tpu.tasks.common import parse_cli, timestamp, JsonlLogger
+
+
+def train(cfg) -> Path:
+    import jax
+    import jax.numpy as jnp
+
+    from crossscore_tpu.tasks.common import apply_accelerator
+    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    apply_accelerator(cfg)
+    enable_compile_cache()
+
+    from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+    from crossscore_tpu.data import Loader
+    from crossscore_tpu.data.nvs_index import get_dataset
+    from crossscore_tpu.io.checkpoint import CheckpointManager
+    from crossscore_tpu.io.summariser import SummaryWriterPredictedOnline
+    from crossscore_tpu.parallel import make_mesh, batch_sharding, replicated
+    from crossscore_tpu.train import make_optimizer, make_train_step, make_eval_step, create_train_state
+    from crossscore_tpu.utils.check_config import ConfigChecker
+    from crossscore_tpu.utils.metric_logger import (
+        MetricLoggerScalar,
+        MetricLoggerHistogram,
+        MetricLoggerCorrelation,
+    )
+    from crossscore_tpu.utils.vis import make_visualiser
+
+    ConfigChecker(cfg).check_train_val()
+
+    if cfg.trainer.get("multi_host", False):
+        jax.distributed.initialize()
+    proc0 = jax.process_index() == 0
+
+    run_dir = Path(cfg.run.dir) / f"{timestamp()}_{cfg.alias}" if cfg.alias else Path(
+        cfg.run.dir
+    ) / timestamp()
+    if proc0:
+        run_dir.mkdir(parents=True, exist_ok=True)
+    logger = JsonlLogger(run_dir, cfg, use_wandb=cfg.logger.use_wandb) if proc0 else None
+
+    # ------------------------------------------------------------------ data
+    overfit = cfg.trainer.overfit_batches
+    deterministic_crop = overfit > 0
+    ds_train = get_dataset(
+        cfg, "train", crop_mode="dataset_default",
+        resize_short_side=cfg.this_main.resize_short_side,
+        deterministic_crop=deterministic_crop,
+    )
+    ds_val = get_dataset(
+        cfg, "test", return_item_paths=True, crop_mode="dataset_default",
+        resize_short_side=cfg.this_main.resize_short_side,
+        deterministic_crop=deterministic_crop,
+    )
+
+    n_dev = None if cfg.trainer.devices in (-1, None) else len(cfg.trainer.devices)
+    mesh = make_mesh(n_dev, batch_size=cfg.data.loader.train.batch_size)
+    bsh = batch_sharding(mesh)
+
+    loader_train = Loader(
+        ds_train,
+        batch_size=cfg.data.loader.train.batch_size,
+        shuffle=cfg.data.loader.train.shuffle and overfit == 0,
+        num_workers=cfg.data.loader.train.num_workers,
+        prefetch_batches=cfg.data.loader.train.prefetch_factor,
+        seed=cfg.seed,
+        drop_last=True,
+        shard_index=jax.process_index(),
+        num_shards=jax.process_count(),
+        sharding=bsh,
+    )
+    loader_val = Loader(
+        ds_val,
+        batch_size=cfg.data.loader.validation.batch_size,
+        shuffle=cfg.data.loader.validation.shuffle,
+        num_workers=cfg.data.loader.validation.num_workers,
+        prefetch_batches=cfg.data.loader.validation.prefetch_factor,
+        seed=cfg.seed + 1,
+        drop_last=True,
+        shard_index=jax.process_index(),
+        num_shards=jax.process_count(),
+        sharding=bsh,
+    )
+
+    steps_per_epoch = loader_train.batches_per_epoch()
+    if isinstance(cfg.trainer.limit_train_batches, float):
+        limit_train = int(cfg.trainer.limit_train_batches * steps_per_epoch)
+    else:
+        limit_train = int(cfg.trainer.limit_train_batches)
+    if overfit > 0:
+        limit_train = int(overfit)
+    limit_val = cfg.trainer.limit_val_batches
+    limit_val = (
+        int(limit_val * loader_val.batches_per_epoch())
+        if isinstance(limit_val, float)
+        else int(limit_val)
+    )
+
+    # ----------------------------------------------------------------- model
+    mcfg = CrossScoreConfig.from_config(cfg)
+    model = CrossScoreNet(mcfg)
+
+    item0 = ds_train.get_item(0, np.random.default_rng(cfg.seed))
+    params = model.init(
+        jax.random.PRNGKey(cfg.seed),
+        jnp.asarray(item0["query/img"][None]),
+        jnp.asarray(item0["reference/cross/imgs"][None]),
+    )["params"]
+    # pretrained backbone (orbax dir or HF/Lightning ckpt) can be injected via
+    # model.backbone_init_path
+    bb_init = cfg.model.backbone.get("init_path")
+    if bb_init:
+        from crossscore_tpu.io.checkpoint import load_params
+
+        params["backbone"] = load_params(bb_init, like=params["backbone"])
+
+    tx, lr_schedule = make_optimizer(cfg, params, steps_per_epoch=max(1, steps_per_epoch))
+    state = create_train_state(params, tx)
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt_mgr = CheckpointManager(
+        run_dir / "ckpt",
+        train_time_interval_hours=cfg.trainer.checkpointing.train_time_interval,
+        every_n_train_steps=cfg.trainer.checkpointing.every_n_train_steps,
+        every_n_epochs=cfg.trainer.checkpointing.every_n_epochs,
+    )
+    start_epoch = 0
+    if cfg.trainer.ckpt_path_to_load is not None:
+        from crossscore_tpu.io.checkpoint import CheckpointManager as CM
+
+        resume_mgr = CM(cfg.trainer.ckpt_path_to_load)
+        state = resume_mgr.restore(None, like=state)
+        start_epoch = int(state.step) // max(1, steps_per_epoch)
+        print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+
+    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model))
+
+    # ------------------------------------------------------------- callbacks
+    cache_n = cfg.logger.cache_size.train.n_scalar
+    train_cache = {
+        "loss": MetricLoggerScalar(cache_n),
+        "loss_cross": MetricLoggerScalar(cache_n),
+        "corr": MetricLoggerCorrelation(cache_n),
+        "score_hist": MetricLoggerHistogram(cache_n),
+        "l1_hist": MetricLoggerHistogram(cache_n),
+    }
+    visualiser = make_visualiser(cfg)
+    summariser = SummaryWriterPredictedOnline(
+        metric_type=cfg.model.predict.metric.type, metric_min=cfg.model.predict.metric.min
+    )
+    (run_dir / "vis").mkdir(parents=True, exist_ok=True)
+
+    def run_validation(epoch: int, step: int, max_batches: int):
+        losses, corrs = [], []
+        for vb_idx, vbatch in enumerate(loader_val.epoch(epoch)):
+            if vb_idx >= max_batches:
+                break
+            varrays = {k: v for k, v in vbatch.items() if k not in ("item_paths", "_valid")}
+            pred, metrics = eval_step(state.params, varrays)
+            losses.append(float(metrics["loss"]))
+            corrs.append(float(metrics["correlation_cross"]))
+            summariser.update(vbatch, {"score_map_ref_cross": np.asarray(pred, np.float32)})
+            if proc0 and vb_idx < cfg.logger.cache_size.validation.n_fig:
+                import matplotlib.pyplot as plt
+
+                fig = visualiser.vis(vbatch, {"score_map_ref_cross": np.asarray(pred, np.float32)})
+                fig.savefig(run_dir / "vis" / f"val_e{epoch:03}_B{vb_idx:02}.png")
+                plt.close(fig)
+        if losses and logger is not None:
+            loss = float(np.mean(losses))
+            logger.log(
+                {
+                    "validation/loss": loss,
+                    "validation/loss_cross": loss,
+                    "validation/correlation_cross": float(np.mean(corrs)),
+                    "validation/psnr_cross": float(-10 * np.log10(loss**2)) if loss > 0 else 99.0,
+                },
+                step,
+            )
+        summariser.reset()
+
+    # ------------------------------------------------------------------ loop
+    global_step = int(state.step)
+    max_steps = cfg.trainer.max_steps
+    t_start = time.time()
+    stop = False
+
+    # profiling (reference uses PyTorchProfiler schedule wait=10 warmup=2
+    # active=10, task/train.py:134-144): trace steps 12..22 to XPlane/Perfetto
+    profile_window = (12, 22) if cfg.trainer.do_profiling and proc0 else None
+    profile_dir = str(cfg.trainer.get("profile_dir") or (run_dir / "profiler"))
+
+    if cfg.trainer.num_sanity_val_steps > 0:
+        run_validation(0, global_step, cfg.trainer.num_sanity_val_steps)
+
+    for epoch in range(start_epoch, cfg.trainer.max_epochs):
+        for batch_idx, batch in enumerate(loader_train.epoch(0 if overfit else epoch)):
+            if batch_idx >= limit_train:
+                break
+            batch.pop("_valid", None)
+            batch.pop("item_paths", None)
+            if profile_window and global_step == profile_window[0]:
+                jax.profiler.start_trace(profile_dir)
+            state, metrics = train_step(state, batch)
+            global_step += 1
+            if profile_window and global_step == profile_window[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
+
+            if proc0 and global_step % cfg.logger.vis_scalar_every_n_train_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                train_cache["loss"].update(m["loss"])
+                train_cache["corr"].storage.append(m["correlation_cross"])
+                logger.log(
+                    {
+                        "train/loss": train_cache["loss"].compute(),
+                        "train/loss_cross": m["loss_cross"],
+                        "train/psnr_cross": m["psnr_cross"],
+                        "train/correlation_cross": m["correlation_cross"],
+                        "train/lr": float(lr_schedule(global_step)),
+                        "train/steps_per_sec": global_step / max(1e-9, time.time() - t_start),
+                    },
+                    global_step,
+                )
+
+            if proc0 and ckpt_mgr.should_save(global_step):
+                ckpt_mgr.save(global_step, state)
+
+            if max_steps > 0 and global_step >= max_steps:
+                stop = True
+                break
+        if stop:
+            break
+
+        run_validation(epoch, global_step, limit_val)
+        if proc0 and ckpt_mgr.should_save(global_step, epoch_end=True, epoch=epoch):
+            ckpt_mgr.save(global_step, state)
+
+    if proc0 and cfg.trainer.checkpointing.save_last:
+        ckpt_mgr.save(global_step, state, force=True)
+        ckpt_mgr.wait()
+    if logger is not None:
+        logger.close()
+    print(f"train done: {global_step} steps -> {run_dir}")
+    return run_dir
+
+
+def main(argv=None):
+    cfg = parse_cli("default", argv)
+    return train(cfg)
+
+
+if __name__ == "__main__":
+    main()

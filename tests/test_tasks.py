@@ -1,0 +1,128 @@
+"""End-to-end CLI task tests on a synthetic dataset (CPU, tiny model preset).
+
+These drive the public surfaces exactly as predict.sh / the reference CLIs do,
+checking the on-disk output layout contract.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from crossscore_tpu.data.synthetic import generate
+
+SMALL_OVERRIDES = [
+    "trainer.accelerator=cpu",
+    "model.tpu.compute_dtype=float32",
+    "model.backbone.preset=dinov2-test",
+    "data.neighbour_config.cross=2",
+]
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    """Workspace with a synthetic dataset; tasks run with cwd inside it."""
+    root = tmp_path_factory.mktemp("tasks_ws")
+    generate(root / "datadir", hw=(84, 112), scenes_per_split={"train": 1, "val": 1, "test": 1})
+    old = os.getcwd()
+    os.chdir(root)
+    yield root
+    os.chdir(old)
+
+
+class TestPredictTask:
+    def test_predict_outputs(self, ws):
+        from crossscore_tpu.tasks.predict import main
+
+        out_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.query_dir=datadir/res_540/s00002/test/ours_1000/renders",
+                "data.dataset.reference_dir=datadir/res_540/s00002/train/ours_1000/gt",
+                "data.loader.validation.batch_size=2",
+                "data.loader.validation.num_workers=2",
+                "this_main.resize_short_side=84",
+                "alias=scene",
+            ]
+        )
+        assert (out_dir / "vis" / "r0_B0000_b0.png").exists()
+        maps = sorted((out_dir / "batch" / "score_map_ref_cross").glob("*.png"))
+        assert len(maps) == 3  # all query frames, incl. padded final batch trimmed
+        assert "r0_B0000_b000" in maps[0].name
+        csvs = list((out_dir / "score_summary").rglob("*.csv"))
+        assert len(csvs) == 1
+        import pandas as pd
+
+        df = pd.read_csv(csvs[0])
+        assert list(df.columns) == ["scene_name", "rendered_dir", "image_name", "pred_ssim_0_1"]
+        assert len(df) == 3
+        assert df["pred_ssim_0_1"].between(0, 1).all()
+
+
+class TestTestTask:
+    def test_metrics_csv_and_outputs(self, ws):
+        from crossscore_tpu.tasks.test import main
+
+        out_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.path=[datadir]",
+                "data.loader.validation.batch_size=2",
+                "data.loader.validation.num_workers=2",
+                "this_main.resize_short_side=-1",
+                "alias=eval",
+            ]
+        )
+        assert (out_dir / "metrics.csv").exists()
+        lines = (out_dir / "metrics.csv").read_text().strip().splitlines()
+        assert lines[0].startswith("batch_idx,test/loss")
+        assert lines[-1].startswith("mean,")
+        # gray uint16 score maps
+        maps = list((out_dir / "batch" / "score_map_ref_cross").glob("*.png"))
+        assert maps
+        from PIL import Image
+
+        assert np.array(Image.open(maps[0])).dtype in (np.uint16, np.int32)
+        # item path jsons
+        jsons = list((out_dir / "batch" / "item_path_json").glob("*.json"))
+        assert jsons
+        data = json.loads(jsons[0].read_text())
+        assert "query/img" in data and "reference/cross/imgs" in data
+
+
+class TestTrainTask:
+    def test_short_training_run_and_resume(self, ws):
+        from crossscore_tpu.tasks.train import main
+
+        overrides = SMALL_OVERRIDES + [
+            "data.dataset.path=[datadir]",
+            "data.loader.train.batch_size=2",
+            "data.loader.validation.batch_size=2",
+            "data.loader.train.num_workers=2",
+            "data.loader.validation.num_workers=2",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=-1",
+            "trainer.num_sanity_val_steps=1",
+            "trainer.limit_val_batches=1",
+            "logger.vis_scalar_every_n_train_steps=1",
+        ]
+        run_dir = main(overrides + ["trainer.max_epochs=1", "alias=t1"])
+        assert (run_dir / "metrics.jsonl").exists()
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert any("train/loss" in r for r in rows)
+        assert any("validation/loss" in r for r in rows)
+        ckpts = list((run_dir / "ckpt").iterdir())
+        assert ckpts, "save_last checkpoint missing"
+
+        run2 = main(
+            overrides
+            + [
+                "trainer.max_epochs=2",
+                f"trainer.ckpt_path_to_load={run_dir / 'ckpt'}",
+                "alias=t2",
+            ]
+        )
+        rows2 = [json.loads(l) for l in (run2 / "metrics.jsonl").read_text().splitlines()]
+        steps = [r["step"] for r in rows2 if "train/loss" in r]
+        assert steps and min(steps) > min(r["step"] for r in rows if "train/loss" in r)
