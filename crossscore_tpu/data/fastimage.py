@@ -1,0 +1,168 @@
+"""ctypes bindings for the native image-decode core (native/fastimage.cpp).
+
+Auto-builds ``libfastimage.so`` on first use (g++ + libpng are part of the
+image); every loader falls back to the PIL/numpy path if the native library is
+unavailable, so the framework never hard-depends on the toolchain.
+
+The C calls release the GIL, so the loader's thread pool gets true decode
+parallelism — the reference pays multiprocessing (worker pickling) for the
+same effect (reference ``config/data/combined_training.yaml:4``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parents[2] / "native"
+_SO_PATH = _NATIVE_DIR / "libfastimage.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    src = _NATIVE_DIR / "fastimage.cpp"
+    if not src.exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _SO_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("CROSSSCORE_NO_NATIVE"):
+            return None
+        try:
+            if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < (
+                _NATIVE_DIR / "fastimage.cpp"
+            ).stat().st_mtime:
+                if not _build():
+                    return None
+            lib = ctypes.CDLL(str(_SO_PATH))
+            lib.fi_image_info.argtypes = [ctypes.c_char_p] + [ctypes.POINTER(ctypes.c_int)] * 4
+            lib.fi_image_info.restype = ctypes.c_int
+            lib.fi_load_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.fi_load_rgb.restype = ctypes.c_int
+            lib.fi_load_metric.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.fi_load_metric.restype = ctypes.c_int
+            _lib = lib
+        except Exception:
+            _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def image_info(path: str) -> tuple[int, int, int, int]:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    h = ctypes.c_int(); w = ctypes.c_int(); c = ctypes.c_int(); b = ctypes.c_int()
+    rc = lib.fi_image_info(str(path).encode(), h, w, c, b)
+    if rc:
+        raise IOError(f"fi_image_info({path}) failed rc={rc}")
+    return h.value, w.value, c.value, b.value
+
+
+def load_rgb(
+    path: str,
+    resize_hw: Optional[tuple[int, int]] = None,
+    crop: Optional[tuple[int, int, int, int]] = None,
+    normalize: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Fused decode(+resize)(+crop)(+ImageNet-normalise) -> float32 HWC(3)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    rh, rw = resize_hw if resize_hw else (0, 0)
+    if crop:
+        ci, cj, ch, cw = crop
+        ch_arg, cw_arg = ch, cw
+    else:
+        ci = cj = ch_arg = cw_arg = 0
+        if resize_hw:
+            ch, cw = rh, rw
+        else:
+            h, w, _, _ = image_info(path)
+            ch, cw = h, w
+
+    if out is None:
+        out = np.empty((ch, cw, 3), np.float32)
+    rc = lib.fi_load_rgb(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rh, rw, ci, cj, ch_arg, cw_arg, int(normalize),
+    )
+    if rc:
+        raise IOError(f"fi_load_rgb({path}) failed rc={rc}")
+    return out
+
+
+def load_metric(
+    path: str,
+    vrange: list,
+    clamp01: bool = False,
+    square: bool = False,
+    resize_hw: Optional[tuple[int, int]] = None,
+    crop: Optional[tuple[int, int, int, int]] = None,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Fused 16-bit metric-map decode(+transforms) -> float32 HW."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    mode = 0 if list(vrange) == [0, 1] else 1
+    rh, rw = resize_hw if resize_hw else (0, 0)
+    if crop:
+        ci, cj, ch, cw = crop
+        ch_arg, cw_arg = ch, cw
+    else:
+        ci = cj = ch_arg = cw_arg = 0
+        if resize_hw:
+            ch, cw = rh, rw
+        else:
+            h, w, _, _ = image_info(path)
+            ch, cw = h, w
+    if out is None:
+        out = np.empty((ch, cw), np.float32)
+    rc = lib.fi_load_metric(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mode, int(clamp01), int(square), rh, rw, ci, cj, ch_arg, cw_arg,
+    )
+    if rc:
+        raise IOError(f"fi_load_metric({path}) failed rc={rc}")
+    return out

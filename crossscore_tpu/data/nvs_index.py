@@ -284,7 +284,11 @@ class NvsDataset:
         return resize_bilinear_antialias(img, out_h, out_w)
 
     def get_item(self, idx: int, rng: np.random.Generator) -> dict:
+        from crossscore_tpu.data import fastimage
+
         item_paths = self.neighbour_selector.select(idx, rng)
+        if fastimage.available():
+            return self._get_item_fused(item_paths, rng)
         content = self.load_content(item_paths)
 
         q = content["query/img"]
@@ -316,6 +320,94 @@ class NvsDataset:
         }
         if refs is not None:
             out["reference/cross/imgs"] = normalize_imagenet(refs).astype(np.float32)
+        if self.return_item_paths:
+            out["item_paths"] = item_paths
+        return out
+
+    # ------------------------------------------------ native fused fast path
+
+    def _plan_geometry(self, path: str, rng, is_query: bool):
+        """(resize_hw, crop, out_hw, pre_crop_hw) for one image, consuming the
+        SAME rng stream as the PIL path so both paths are bit-identical."""
+        from crossscore_tpu.data import fastimage
+        from crossscore_tpu.data.crop import get_crop_params
+
+        h, w, _, _ = fastimage.image_info(path)
+        resize_hw = None
+        if self.resize_short_side > 0 and min(h, w) != self.resize_short_side:
+            s = self.resize_short_side
+            if h <= w:
+                resize_hw = (s, max(1, round(w * s / h)))
+            else:
+                resize_hw = (max(1, round(h * s / w)), s)
+            h, w = resize_hw
+        if self.crop_mode == "integer_patches":
+            nh, nw = h - h % 14, w - w % 14
+            return resize_hw, (0, 0, nh, nw), (nh, nw), (h, w)
+        cropper = self.query_crop if is_query else self.reference_crop
+        if cropper is not None:
+            p = get_crop_params((h, w), cropper.output_size, rng, cropper.deterministic)
+            return resize_hw, tuple(int(x) for x in p), tuple(cropper.output_size), (h, w)
+        return resize_hw, None, (h, w), (h, w)
+
+    def _get_item_fused(self, item_paths: dict, rng: np.random.Generator) -> dict:
+        from crossscore_tpu.data import fastimage
+
+        mc = self.metric_config
+        qpath = item_paths["query/img"]
+        resize_hw, crop, out_hw, pre_crop_hw = self._plan_geometry(qpath, rng, is_query=True)
+        q = fastimage.load_rgb(qpath, resize_hw=resize_hw, crop=crop, normalize=True)
+
+        sm_path = item_paths["query/score_map"]
+        if sm_path == EMPTY_IMAGE or mc["type"] is None:
+            if mc["type"] in ("mae", "mse") and sm_path == EMPTY_IMAGE:
+                sm = np.full(out_hw, np.nan, np.float32)
+            else:
+                sm = np.zeros(out_hw, np.float32)
+        elif mc["type"] == "ssim":
+            sm = fastimage.load_metric(
+                sm_path, vrange=[-1, 1], clamp01=(mc["vrange"] == [0, 1]),
+                resize_hw=resize_hw, crop=crop,
+            )
+        else:  # mae / mse
+            sm = fastimage.load_metric(
+                sm_path, vrange=[0, 1], square=(mc["type"] == "mse"),
+                resize_hw=resize_hw, crop=crop,
+            )
+
+        refs = None
+        ref_paths = item_paths["reference/cross/imgs"]
+        if ref_paths:
+            from crossscore_tpu.data.crop import get_crop_params
+
+            zero_ref = normalize_imagenet(np.zeros((*out_hw, 3), np.float32))
+            refs = np.empty((len(ref_paths), *out_hw, 3), np.float32)
+            for i, rp in enumerate(ref_paths):
+                if rp == EMPTY_IMAGE:
+                    # PIL-path parity: an empty ref is a zeros image of the
+                    # query's pre-crop size that the cropper still crops —
+                    # consume the same rng draws, output is zeros either way
+                    if self.reference_crop is not None:
+                        get_crop_params(
+                            pre_crop_hw, self.reference_crop.output_size, rng,
+                            self.reference_crop.deterministic,
+                        )
+                    refs[i] = zero_ref
+                    continue
+                r_resize, r_crop, r_hw, _ = self._plan_geometry(rp, rng, is_query=False)
+                if self.zero_reference:
+                    refs[i] = zero_ref
+                    continue
+                if r_hw != out_hw:
+                    raise ValueError(
+                        f"reference {rp} output {r_hw} != query {out_hw}; "
+                        "set a crop or resize for mixed-size inputs"
+                    )
+                fastimage.load_rgb(rp, resize_hw=r_resize, crop=r_crop, normalize=True, out=refs[i])
+
+        out = {"query/img": q, "query/score_map": sm}
+        if refs is not None:
+            out["reference/cross/imgs"] = refs
         if self.return_item_paths:
             out["item_paths"] = item_paths
         return out

@@ -114,9 +114,13 @@ class CrossScoreNet(nn.Module):
             all_imgs = jnp.concatenate([all_imgs, ref_imgs], axis=1)
         all_imgs = all_imgs.reshape(b * (1 + k_ref), hgt, wdt, 3)
 
-        tokens = Dinov2Encoder(c.backbone, dtype=dt, remat=c.remat_backbone, name="backbone")(
-            all_imgs
-        )
+        tokens = Dinov2Encoder(
+            c.backbone,
+            dtype=dt,
+            remat=c.remat_backbone,
+            attention_impl=c.attention_impl,
+            name="backbone",
+        )(all_imgs)
         tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone
         tokens = tokens.reshape(b, 1 + k_ref, n_patch, d)
 

@@ -85,9 +85,9 @@ class TorchStyleMHA(nn.Module):
         if need_weights:
             out, probs = dense_attention(q, k, v, return_probs=True)
         elif self.attention_impl == "pallas":
-            from crossscore_tpu.ops.flash_attention import flash_cross_attention
+            from crossscore_tpu.ops.flash_attention import flash_cross_attention, pick_blocks
 
-            out = flash_cross_attention(q, k, v)
+            out = flash_cross_attention(q, k, v, *pick_blocks(nq, nk))
         else:
             out = dense_attention(q, k, v)
 

@@ -39,6 +39,15 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pick_blocks(nq: int, nk: int) -> tuple[int, int]:
+    """Tuned block sizes (v5e measurements, bench logs in git history):
+    large q blocks amortise the online-softmax scalar work; when the whole KV
+    fits one VMEM-friendly block (<=2048 tokens) a single kv step wins."""
+    bq = 512 if nq >= 512 else _ceil_to(nq, 128)
+    bk = _ceil_to(nk, 128) if nk <= 2048 else 1024
+    return bq, bk
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr, *,
                 sm_scale: float, kv_valid: int, block_k: int):
     kv_idx = pl.program_id(2)

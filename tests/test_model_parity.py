@@ -184,3 +184,14 @@ class TestRegressionActivation:
             regression_activation("mae", -1, 1)
         with pytest.raises(ValueError):
             regression_activation("ssim", 0, 2)
+
+
+class TestPallasBackboneParity:
+    def test_pallas_attention_matches_xla(self, rng):
+        """Backbone with the flash kernel (interpret mode on CPU) == dense."""
+        model = _hf_dinov2(SMALL_VIT)
+        params = convert_hf_dinov2(state_dict_to_numpy(model.state_dict()), SMALL_VIT.num_layers)
+        img = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+        a = Dinov2Encoder(SMALL_VIT, attention_impl="xla").apply({"params": params}, jnp.asarray(img))
+        b = Dinov2Encoder(SMALL_VIT, attention_impl="pallas").apply({"params": params}, jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
