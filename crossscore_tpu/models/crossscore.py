@@ -92,14 +92,24 @@ class CrossScoreNet(nn.Module):
         ref_imgs: Optional[jnp.ndarray],
         need_attn_weights: bool = False,
         need_attn_weights_head_id: int = 0,
+        norm_img: bool = False,
     ) -> dict:
         """
-        :param query_img: (B, H, W, 3) ImageNet-normalised
+        :param query_img: (B, H, W, 3) ImageNet-normalised (or [0,1] raw with
+                          ``norm_img=True``, reference task/core.py:76-81)
         :param ref_imgs:  (B, K, H, W, 3) or None
         :return: dict with ``score_map_ref_cross`` (B, H, W) and optionally
                  ``attn_weights_map_ref_cross`` (B, gh, gw, K, gh, gw)
         """
         c = self.cfg
+        if norm_img:
+            from crossscore_tpu.io.images import IMAGENET_MEAN, IMAGENET_STD
+
+            mean = jnp.asarray(IMAGENET_MEAN, query_img.dtype)
+            std = jnp.asarray(IMAGENET_STD, query_img.dtype)
+            query_img = (query_img - mean) / std
+            if ref_imgs is not None:
+                ref_imgs = (ref_imgs - mean) / std
         b, hgt, wdt, _ = query_img.shape
         p = c.patch_size
         gh, gw = hgt // p, wdt // p

@@ -33,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+LOG2E = 1.44269504088896340736  # softmax in base 2: exp(x) == exp2(x * log2(e));
+# exp2 maps to the cheaper hardware transcendental on the VPU
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -40,12 +42,17 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def pick_blocks(nq: int, nk: int) -> tuple[int, int]:
-    """Tuned block sizes (v5e measurements, bench logs in git history):
-    large q blocks amortise the online-softmax scalar work; when the whole KV
-    fits one VMEM-friendly block (<=2048 tokens) a single kv step wins."""
-    bq = 512 if nq >= 512 else _ceil_to(nq, 128)
-    bk = _ceil_to(nk, 128) if nk <= 2048 else 1024
-    return bq, bk
+    """Tuned block sizes (v5e measurements, PERFORMANCE.md): large q blocks
+    amortise softmax bookkeeping; when the whole KV fits one VMEM-friendly
+    block (<=2048 tokens) a single exact-softmax kv step wins, with block_q
+    half the padded query axis (704 for 1370 tokens: 8.97ms vs 9.49 at 512)."""
+    if nk <= 2048:
+        bk = _ceil_to(nk, 128)
+        nq_p = _ceil_to(nq, 128)
+        half = _ceil_to((nq_p + 1) // 2, 128)
+        bq = half if nq_p % half == 0 and nq_p >= 512 else (512 if nq >= 512 else nq_p)
+        return bq, bk
+    return (512 if nq >= 512 else _ceil_to(nq, 128)), 1024
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr, *,
@@ -77,8 +84,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr,
     l_prev = l_scr[...]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-    alpha = jnp.exp(m_prev - m_next)  # (bq, LANES)
-    p = jnp.exp(s - m_next[:, :1])  # (bq, bk)
+    alpha = jnp.exp2(LOG2E * (m_prev - m_next))  # (bq, LANES)
+    p = jnp.exp2(LOG2E * (s - m_next[:, :1]))  # (bq, bk)
     l_curr = jnp.sum(p, axis=1, keepdims=True)  # (bq, 1)
     l_next = alpha * l_prev + jnp.broadcast_to(l_curr, l_prev.shape)
 
@@ -98,6 +105,30 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr,
         m_ref[0] = m_scr[...][:, :1].astype(m_ref.dtype)
 
 
+def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
+                       sm_scale: float, kv_valid: int):
+    """Single-KV-block variant: the whole reference axis fits one VMEM block,
+    so the plain (exact) softmax replaces the online-softmax bookkeeping."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col_ids < kv_valid, s, NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(LOG2E * (s - m))
+    l = jnp.sum(p, axis=1, keepdims=True)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    v = v_ref[0]
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+    l_ref[0] = l.astype(l_ref.dtype)
+    m_ref[0] = m.astype(m_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024):
     """q: (B, H, Nq, hd); k, v: (B, H, Nk, hd) -> (o, l, m) with padding stripped."""
@@ -113,11 +144,21 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024):
     kf = jnp.pad(k.reshape(bh, nk, hd), ((0, 0), (0, nk_p - nk), (0, 0)))
     vf = jnp.pad(v.reshape(bh, nk, hd), ((0, 0), (0, nk_p - nk), (0, 0)))
 
+    single_kv = nk_p == block_k
     grid = (bh, nq_p // block_q, nk_p // block_k)
 
-    kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, kv_valid=nk, block_k=block_k
-    )
+    if single_kv:
+        kernel = functools.partial(_fwd_kernel_single, sm_scale=sm_scale, kv_valid=nk)
+        scratch_shapes = []
+    else:
+        kernel = functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, kv_valid=nk, block_k=block_k
+        )
+        scratch_shapes = [
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ]
     o, l, m = pl.pallas_call(
         kernel,
         grid=grid,
@@ -136,11 +177,12 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024):
             jax.ShapeDtypeStruct((bh, nq_p, 1), jnp.float32),
             jax.ShapeDtypeStruct((bh, nq_p, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, hd), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nq_p * nk_p * hd,
+            bytes_accessed=bh * (nq_p + 2 * nk_p * (nq_p // block_q) + nq_p) * hd * 2,
+            transcendentals=bh * nq_p * nk_p,
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -24,6 +24,27 @@ def timestamp() -> str:
     return datetime.now().strftime("%Y%m%d_%H%M%S.%f")
 
 
+def confirm_batch_size(cfg: Config, loader_key: str = "validation") -> None:
+    """Full-resolution images at a large batch can OOM; the reference asks on
+    stdin (``task/predict.py:27-45``). We prompt only when interactive,
+    otherwise warn and proceed (set ``this_main.force_batch_size=true`` to
+    silence)."""
+    bs = cfg.data.loader[loader_key].batch_size
+    if cfg.this_main.force_batch_size or bs <= 8 or cfg.this_main.crop_mode is not None:
+        return
+    msg = (f"Running full image resolution with batch_size={bs}. "
+           "Press Enter to continue, or enter a new batch size: ")
+    if sys.stdin is not None and sys.stdin.isatty():
+        tmp = input(msg)
+        if tmp.strip():
+            if not tmp.strip().isdigit():
+                raise ValueError("Invalid input")
+            cfg.data.loader[loader_key].batch_size = int(tmp)
+            print(f"Set batch size to {tmp}")
+    else:
+        print(f"WARNING: {msg} (non-interactive; proceeding)")
+
+
 def apply_accelerator(cfg: Config) -> None:
     """Honour ``trainer.accelerator`` (cpu | tpu | auto). Must run before the
     first jax computation. Note: in this environment the JAX_PLATFORMS env var

@@ -42,7 +42,10 @@ def predict(cfg) -> Path:
     from crossscore_tpu.utils.vis import make_visualiser
     from crossscore_tpu.train.step import make_predict_step
 
+    from crossscore_tpu.tasks.common import confirm_batch_size
+
     ConfigChecker(cfg).check_predict()
+    confirm_batch_size(cfg)
     out_dir = resolve_out_dir(cfg, "predict")
     (out_dir / "vis").mkdir(parents=True, exist_ok=True)
 
@@ -110,10 +113,10 @@ def predict(cfg) -> Path:
             import matplotlib.pyplot as plt
 
             fig = visualiser.vis(batch, outputs)
-            fig.savefig(out_dir / "vis" / f"r0_B{batch_idx:04}_b0.png")
+            fig.savefig(out_dir / "vis" / f"r{jax.process_index()}_B{batch_idx:04}_b0.png")
             plt.close(fig)
         if writer is not None:
-            writer.write_out(batch, outputs, local_rank=0, batch_idx=batch_idx)
+            writer.write_out(batch, outputs, local_rank=jax.process_index(), batch_idx=batch_idx)
         n_batches += 1
 
     summariser.summarise()

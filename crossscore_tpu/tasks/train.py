@@ -252,6 +252,31 @@ def train(cfg) -> Path:
                     global_step,
                 )
 
+            # train-batch figure + score/L1-diff histograms at their cadences
+            # (reference task/core.py:325-362)
+            need_fig = proc0 and global_step % cfg.logger.vis_imgs_every_n_train_steps == 0
+            need_hist = proc0 and global_step % cfg.logger.vis_histogram_every_n_train_steps == 0
+            if need_fig or need_hist:
+                pred, _ = eval_step(state.params, batch)
+                pred = np.asarray(pred, np.float32)
+                if need_fig:
+                    import matplotlib.pyplot as plt
+
+                    fig = visualiser.vis(batch, {"score_map_ref_cross": pred})
+                    fig.savefig(run_dir / "vis" / f"train_s{global_step:06}.png")
+                    plt.close(fig)
+                if need_hist:
+                    gt = np.asarray(batch["query/score_map"], np.float32)
+                    score_hist, edges = np.histogram(pred, bins=10)
+                    l1_hist, _ = np.histogram(np.abs(pred - gt), bins=10)
+                    logger.log(
+                        {
+                            **{f"train/score_hist_{i}": float(v) for i, v in enumerate(score_hist)},
+                            **{f"train/l1_diff_hist_{i}": float(v) for i, v in enumerate(l1_hist)},
+                        },
+                        global_step,
+                    )
+
             if proc0 and ckpt_mgr.should_save(global_step):
                 ckpt_mgr.save(global_step, state)
 
