@@ -126,3 +126,51 @@ class TestTrainTask:
         rows2 = [json.loads(l) for l in (run2 / "metrics.jsonl").read_text().splitlines()]
         steps = [r["step"] for r in rows2 if "train/loss" in r]
         assert steps and min(steps) > min(r["step"] for r in rows if "train/loss" in r)
+
+
+class TestPredictEdgeCases:
+    def test_k_exceeds_available_refs_pads_with_empty(self, ws):
+        """K=6 > 4 available references: sampler pads with empty_image zeros."""
+        from crossscore_tpu.tasks.predict import main
+
+        out_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.query_dir=datadir/res_540/s00002/test/ours_1000/renders",
+                "data.dataset.reference_dir=datadir/res_540/s00002/train/ours_1000/gt",
+                "data.neighbour_config.cross=6",
+                "data.loader.validation.batch_size=3",
+                "data.loader.validation.num_workers=1",
+                "this_main.resize_short_side=84",
+                "alias=pad",
+            ]
+        )
+        maps = list((out_dir / "batch" / "score_map_ref_cross").glob("*.png"))
+        assert len(maps) == 3
+        refs = list((out_dir / "batch" / "image_reference").rglob("*.png"))
+        assert len(refs) == 3 * 6  # every query gets 6 refs incl. padded ones
+
+    def test_mae_metric_test_path(self, ws):
+        from crossscore_tpu.tasks.test import main
+
+        out_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.path=[datadir]",
+                "model.predict.metric.type=mae",
+                "data.loader.validation.batch_size=2",
+                "data.loader.validation.num_workers=1",
+                "this_main.resize_short_side=-1",
+                "alias=mae",
+            ]
+        )
+        csvs = list((out_dir / "score_summary").rglob("*.csv"))
+        import pandas as pd
+
+        df = pd.read_csv(csvs[0])
+        assert "pred_mae" in df.columns
+        # gray maps written in the mae intrinsic range [0,1]
+        from crossscore_tpu.io.images import metric_map_read
+
+        m = metric_map_read(next((out_dir / "batch" / "score_map_ref_cross").glob("*.png")), [0, 1])
+        assert 0 <= m.min() and m.max() <= 1
