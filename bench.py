@@ -54,16 +54,20 @@ def main() -> None:
         jax.random.PRNGKey(0), query[:1, :70, :70], refs[:1, :, :70, :70]
     )["params"]
 
-    def body(i, carry):
-        q = query * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
-        out = model.apply({"params": params}, q, refs)
-        return carry + out["score_map_ref_cross"][0, 0, 0].astype(jnp.float32)
+    @jax.jit
+    def loop(query, refs):
+        def body(i, carry):
+            q = query * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+            out = model.apply({"params": params}, q, refs)
+            return carry + out["score_map_ref_cross"][0, 0, 0].astype(jnp.float32)
 
-    loop = jax.jit(lambda: jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0)))
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
 
-    loop().block_until_ready()  # compile + warm up
+    # warm up with DIFFERENT input values: the execution relay memoises
+    # repeated identical (program, inputs) dispatches in this environment
+    loop(query * jnp.bfloat16(0.5), refs).block_until_ready()
     t0 = time.perf_counter()
-    loop().block_until_ready()
+    loop(query, refs).block_until_ready()
     dt = (time.perf_counter() - t0) / N_ITERS
 
     maps_per_sec = BATCH / dt

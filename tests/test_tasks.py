@@ -174,3 +174,23 @@ class TestPredictEdgeCases:
 
         m = metric_map_read(next((out_dir / "batch" / "score_map_ref_cross").glob("*.png")), [0, 1])
         assert 0 <= m.min() and m.max() <= 1
+
+    def test_attn_weights_written(self, ws):
+        from crossscore_tpu.tasks.predict import main
+
+        out_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.query_dir=datadir/res_540/s00002/test/ours_1000/renders",
+                "data.dataset.reference_dir=datadir/res_540/s00002/train/ours_1000/gt",
+                "model.need_attn_weights=true",
+                "model.need_attn_weights_head_id=1",
+                "logger.predict.write.flag.attn_weights=true",
+                "data.loader.validation.batch_size=3",
+                "data.loader.validation.num_workers=1",
+                "this_main.resize_short_side=84",
+                "alias=attn",
+            ]
+        )
+        attn_pngs = list((out_dir / "batch" / "attn_weights").rglob("*.png"))
+        assert len(attn_pngs) == 3 * 2  # 3 queries x K=2 refs, centre patch
