@@ -23,11 +23,13 @@ import time
 
 import numpy as np
 
+import os
+
 BASELINE_MAPS_PER_SEC_A5000 = 25.0
-BATCH = 8
-K_REFS = 8
-HW = 518
-N_ITERS = 10
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+K_REFS = int(os.environ.get("BENCH_K", 8))
+HW = int(os.environ.get("BENCH_HW", 518))
+N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
 
 def main() -> None:

@@ -133,6 +133,24 @@ def load_config(
     defaults = root_doc.pop("defaults", ["_self_"])
     root_doc.pop("hydra", None)  # run-dir management is handled by the tasks
 
+    # hydra-style group selection from the CLI: ``data=mip360`` swaps the
+    # defaults-list choice for that group (reference usage:
+    # ``python task/train.py data=combined_testing``)
+    overrides = list(overrides)
+    group_choices: dict[str, str] = {}
+    plain_overrides = []
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        if "=" in ov and "." not in key and not key.startswith("+") and (config_dir / key).is_dir():
+            if not (config_dir / key / f"{raw}.yaml").exists():
+                available = sorted(p.stem for p in (config_dir / key).glob("*.yaml"))
+                raise FileNotFoundError(
+                    f"Unknown {key} group choice {raw!r}; available: {available}"
+                )
+            group_choices[key] = raw
+        else:
+            plain_overrides.append(ov)
+
     merged: dict = {}
     for entry in defaults:
         if entry == "_self_":
@@ -142,14 +160,18 @@ def load_config(
                 group = str(group)
                 if group.startswith("override "):
                     continue  # hydra logging toggles: not applicable
+                choice = group_choices.pop(group, choice)
                 group_doc = _read_yaml(config_dir / group / f"{choice}.yaml")
                 _deep_merge(merged, {group: group_doc})
         else:
             # bare include of a sibling yaml file
             _deep_merge(merged, _read_yaml(config_dir / f"{entry}.yaml"))
+    # group selections for groups not in the defaults list
+    for group, choice in group_choices.items():
+        _deep_merge(merged, {group: _read_yaml(config_dir / group / f"{choice}.yaml")})
 
     cfg = Config.from_nested(merged)
-    apply_overrides(cfg, overrides)
+    apply_overrides(cfg, plain_overrides)
     return cfg
 
 

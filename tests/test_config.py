@@ -57,3 +57,13 @@ class TestLoadConfig:
         cfg = load_config("default")
         assert cfg.select("model.patch_size") == 14
         assert cfg.select("no.such.key", -1) == -1
+
+    def test_group_selection_from_cli(self):
+        """Hydra-style `data=mip360` swaps the whole data group."""
+        cfg = load_config("default", overrides=["data=mip360", "data.loader.train.batch_size=4"])
+        assert cfg.data.dataset.resolution == "res_400"
+        assert cfg.data.loader.train.batch_size == 4  # later dotted override wins
+
+    def test_group_selection_unknown_choice_raises(self):
+        with pytest.raises(FileNotFoundError):
+            load_config("default", overrides=["data=not_a_preset."])
