@@ -72,7 +72,7 @@ class BatchWriter:
         if self.write_flag["score_map_gt"]:
             self._write_gt_maps(batch_input, local_rank, batch_idx, n_valid)
         if self.write_flag["item_path_json"]:
-            self._write_item_paths(batch_input, local_rank, batch_idx)
+            self._write_item_paths(batch_input, local_rank, batch_idx, n_valid)
         if self.write_flag["image_query"]:
             self._write_query_images(batch_input, local_rank, batch_idx, n_valid)
         if self.write_flag["image_reference"]:
@@ -112,12 +112,15 @@ class BatchWriter:
         for b, name in self._names(batch_input, local_rank, batch_idx, n_valid):
             self._write_map(self.dirs["score_map_gt"] / f"{name}.png", maps[b])
 
-    def _write_item_paths(self, batch_input, local_rank, batch_idx):
+    def _write_item_paths(self, batch_input, local_rank, batch_idx, n_valid):
         out = self.dirs["item_path_json"] / f"r{local_rank}_B{batch_idx:04}.json"
         item_paths = dict(batch_input["item_paths"])
+        item_paths["query/img"] = list(item_paths["query/img"][:n_valid])
+        item_paths["query/score_map"] = list(item_paths["query/score_map"][:n_valid])
         refs = item_paths.get("reference/cross/imgs", [])
         if len(refs) > 0:
-            item_paths["reference/cross/imgs"] = np.array(refs).T.tolist()  # (B, K)
+            # (K, B) -> (B_valid, K), matching the reference's transposition
+            item_paths["reference/cross/imgs"] = np.array(refs).T[:n_valid].tolist()
         with open(out, "w") as f:
             json.dump(item_paths, f, indent=2)
 

@@ -196,3 +196,37 @@ class TestLoader:
                 seen.extend(b["item_paths"]["query/img"][: int(b["_valid"])])
         assert len(seen) == len(set(seen))  # no duplicates across shards
         assert len(seen) == (len(ds) // 2) * 2
+
+
+class TestLoaderLifecycle:
+    def test_early_break_no_deadlock_many_epochs(self, dataset_root):
+        """Early generator abandonment must not deadlock or leak producers."""
+        import threading
+
+        ds = _make_ds(dataset_root)
+        loader = Loader(ds, batch_size=2, num_workers=2, prefetch_batches=1, seed=0)
+        before = threading.active_count()
+        for epoch in range(5):
+            for i, b in enumerate(loader.epoch(epoch)):
+                if i == 0:
+                    break  # abandon immediately with a full prefetch queue
+        # give producers a moment to unwind
+        import time
+
+        time.sleep(1.0)
+        after = threading.active_count()
+        assert after <= before + 1, f"leaked threads: {before} -> {after}"
+
+    def test_producer_error_propagates(self, dataset_root):
+        ds = _make_ds(dataset_root)
+
+        class Broken:
+            def __len__(self):
+                return 4
+
+            def get_item(self, idx, rng):
+                raise RuntimeError("boom")
+
+        loader = Loader(Broken(), batch_size=2, num_workers=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader.epoch(0))
