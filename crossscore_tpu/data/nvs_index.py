@@ -283,11 +283,18 @@ class NvsDataset:
             out_h, out_w = max(1, round(h * s / w)), s
         return resize_bilinear_antialias(img, out_h, out_w)
 
+    @staticmethod
+    def _all_png(item_paths: dict) -> bool:
+        paths = [item_paths["query/img"], item_paths["query/score_map"]]
+        paths += list(item_paths["reference/cross/imgs"])
+        return all(p == EMPTY_IMAGE or p.lower().endswith(".png") for p in paths)
+
     def get_item(self, idx: int, rng: np.random.Generator) -> dict:
         from crossscore_tpu.data import fastimage
 
         item_paths = self.neighbour_selector.select(idx, rng)
-        if fastimage.available():
+        # the native fused path decodes PNG only; JPEG etc. fall back to PIL
+        if fastimage.available() and self._all_png(item_paths):
             return self._get_item_fused(item_paths, rng)
         content = self.load_content(item_paths)
 

@@ -45,12 +45,16 @@ def pick_blocks(nq: int, nk: int) -> tuple[int, int]:
     """Tuned block sizes (v5e measurements, PERFORMANCE.md): large q blocks
     amortise softmax bookkeeping; when the whole KV fits one VMEM-friendly
     block (<=2048 tokens) a single exact-softmax kv step wins, with block_q
-    half the padded query axis (704 for 1370 tokens: 8.97ms vs 9.49 at 512)."""
+    half the query axis (~700 for 1370 tokens: 8.97ms vs 9.49 at 512). The q
+    axis only needs sublane (8) granularity — lanes are the last (head) dim."""
     if nk <= 2048:
         bk = _ceil_to(nk, 128)
-        nq_p = _ceil_to(nq, 128)
-        half = _ceil_to((nq_p + 1) // 2, 128)
-        bq = half if nq_p % half == 0 and nq_p >= 512 else (512 if nq >= 512 else nq_p)
+        if nq >= 1024:
+            bq = _ceil_to((nq + 1) // 2, 8)  # two q blocks, e.g. 688 for 1370
+        elif nq >= 512:
+            bq = 512
+        else:
+            bq = _ceil_to(nq, 8)
         return bq, bk
     return (512 if nq >= 512 else _ceil_to(nq, 128)), 1024
 

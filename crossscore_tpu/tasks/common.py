@@ -24,6 +24,18 @@ def timestamp() -> str:
     return datetime.now().strftime("%Y%m%d_%H%M%S.%f")
 
 
+def resolve_limit(limit, batches_per_epoch: int) -> Optional[int]:
+    """Lightning limit_*_batches semantics: int = number of batches,
+    float = fraction of the epoch (1.0 = everything)."""
+    if isinstance(limit, bool):
+        raise ValueError(f"invalid limit {limit!r}")
+    if isinstance(limit, int):
+        return int(limit)
+    if isinstance(limit, float):
+        return None if limit >= 1.0 else int(limit * batches_per_epoch)
+    return None
+
+
 def confirm_batch_size(cfg: Config, loader_key: str = "validation") -> None:
     """Full-resolution images at a large batch can OOM; the reference asks on
     stdin (``task/predict.py:27-45``). We prompt only when interactive,

@@ -96,11 +96,9 @@ def predict(cfg) -> Path:
 
     vis_every = cfg.logger.predict.write.config.vis_img_every_n_steps
     n_batches = 0
-    limit = cfg.trainer.limit_test_batches
-    max_batches = (
-        int(limit) if isinstance(limit, int) and limit != 1
-        else (int(limit * loader.batches_per_epoch()) if isinstance(limit, float) else None)
-    )
+    from crossscore_tpu.tasks.common import resolve_limit
+
+    max_batches = resolve_limit(cfg.trainer.limit_test_batches, loader.batches_per_epoch())
 
     for batch_idx, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and batch_idx >= max_batches:

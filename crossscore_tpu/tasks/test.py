@@ -84,11 +84,9 @@ def test(cfg) -> Path:
     eval_step = jax.jit(make_eval_step(model))
 
     vis_every = cfg.logger.test.write.config.vis_img_every_n_steps
-    limit = cfg.trainer.limit_test_batches
-    max_batches = (
-        int(limit) if isinstance(limit, int) and limit != 1
-        else (int(limit * loader.batches_per_epoch()) if isinstance(limit, float) else None)
-    )
+    from crossscore_tpu.tasks.common import resolve_limit
+
+    max_batches = resolve_limit(cfg.trainer.limit_test_batches, loader.batches_per_epoch())
 
     rows = []
     for batch_idx, batch in enumerate(loader.epoch(0)):

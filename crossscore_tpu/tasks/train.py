@@ -46,11 +46,7 @@ def train(cfg) -> Path:
     from crossscore_tpu.parallel import make_mesh, batch_sharding, replicated
     from crossscore_tpu.train import make_optimizer, make_train_step, make_eval_step, create_train_state
     from crossscore_tpu.utils.check_config import ConfigChecker
-    from crossscore_tpu.utils.metric_logger import (
-        MetricLoggerScalar,
-        MetricLoggerHistogram,
-        MetricLoggerCorrelation,
-    )
+    from crossscore_tpu.utils.metric_logger import MetricLoggerScalar
     from crossscore_tpu.utils.vis import make_visualiser
 
     ConfigChecker(cfg).check_train_val()
@@ -80,7 +76,13 @@ def train(cfg) -> Path:
         deterministic_crop=deterministic_crop,
     )
 
-    n_dev = None if cfg.trainer.devices in (-1, None) else len(cfg.trainer.devices)
+    devices_cfg = cfg.trainer.devices
+    if devices_cfg in (-1, None):
+        n_dev = None
+    elif isinstance(devices_cfg, int):
+        n_dev = devices_cfg  # Lightning semantics: number of devices
+    else:
+        n_dev = len(devices_cfg)  # explicit device-index list
     mesh = make_mesh(n_dev, batch_size=cfg.data.loader.train.batch_size)
     bsh = batch_sharding(mesh)
 
@@ -109,19 +111,17 @@ def train(cfg) -> Path:
         sharding=bsh,
     )
 
+    from crossscore_tpu.tasks.common import resolve_limit
+
     steps_per_epoch = loader_train.batches_per_epoch()
-    if isinstance(cfg.trainer.limit_train_batches, float):
-        limit_train = int(cfg.trainer.limit_train_batches * steps_per_epoch)
-    else:
-        limit_train = int(cfg.trainer.limit_train_batches)
+    limit_train = resolve_limit(cfg.trainer.limit_train_batches, steps_per_epoch)
+    if limit_train is None:
+        limit_train = steps_per_epoch
     if overfit > 0:
         limit_train = int(overfit)
-    limit_val = cfg.trainer.limit_val_batches
-    limit_val = (
-        int(limit_val * loader_val.batches_per_epoch())
-        if isinstance(limit_val, float)
-        else int(limit_val)
-    )
+    limit_val = resolve_limit(cfg.trainer.limit_val_batches, loader_val.batches_per_epoch())
+    if limit_val is None:
+        limit_val = loader_val.batches_per_epoch()
 
     # ----------------------------------------------------------------- model
     mcfg = CrossScoreConfig.from_config(cfg)
@@ -165,13 +165,7 @@ def train(cfg) -> Path:
 
     # ------------------------------------------------------------- callbacks
     cache_n = cfg.logger.cache_size.train.n_scalar
-    train_cache = {
-        "loss": MetricLoggerScalar(cache_n),
-        "loss_cross": MetricLoggerScalar(cache_n),
-        "corr": MetricLoggerCorrelation(cache_n),
-        "score_hist": MetricLoggerHistogram(cache_n),
-        "l1_hist": MetricLoggerHistogram(cache_n),
-    }
+    train_cache = {"loss": MetricLoggerScalar(cache_n)}
     visualiser = make_visualiser(cfg)
     summariser = SummaryWriterPredictedOnline(
         metric_type=cfg.model.predict.metric.type, metric_min=cfg.model.predict.metric.min
@@ -239,7 +233,6 @@ def train(cfg) -> Path:
             if proc0 and global_step % cfg.logger.vis_scalar_every_n_train_steps == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 train_cache["loss"].update(m["loss"])
-                train_cache["corr"].storage.append(m["correlation_cross"])
                 logger.log(
                     {
                         "train/loss": train_cache["loss"].compute(),

@@ -54,10 +54,16 @@ def make_optimizer(cfg, params, steps_per_epoch: int) -> optax.GradientTransform
         steps_per_epoch=steps_per_epoch,
         interval=sched_cfg.step_interval,
     )
+    # torch.optim.AdamW defaults (the reference passes only lr,
+    # task/core.py:495-498): betas (0.9, 0.999), eps 1e-8, weight_decay 1e-2
+    weight_decay = float(opt_cfg.get("weight_decay", 1e-2))
     mask = trainable_mask(params)
     labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
     tx = optax.multi_transform(
-        {"train": optax.adamw(learning_rate=schedule), "freeze": optax.set_to_zero()},
+        {
+            "train": optax.adamw(learning_rate=schedule, weight_decay=weight_decay),
+            "freeze": optax.set_to_zero(),
+        },
         labels,
     )
     return tx, schedule

@@ -106,13 +106,13 @@ AxisFilter make_axis_filter(int in_size, int out_size) {
     f.starts.resize(out_size);
     f.counts.resize(out_size);
     f.weights.assign((size_t)out_size * taps, 0.0f);
+    std::vector<double> tmp(taps);  // taps grows with the downscale factor
     for (int o = 0; o < out_size; ++o) {
         double center = (o + 0.5) * scale - 0.5;
         int lo = (int)std::floor(center - support);
         double wsum = 0.0;
         int count = 0;
         int first = -1;
-        double tmp[64];
         for (int t = 0; t < taps; ++t) {
             int idx = lo + t;
             if (idx < 0 || idx >= in_size) continue;
