@@ -119,8 +119,11 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s * sm_scale
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col_ids < kv_valid, s, NEG_INF)
+    if kv_valid < s.shape[1]:
+        # NOTE: a tail-only mask via slice+concatenate measured SLOWER (the
+        # concatenate copies the whole tile); the full-width where is cheap
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < kv_valid, s, NEG_INF)
 
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp2(LOG2E * (s - m))

@@ -59,6 +59,11 @@ def predict(cfg) -> Path:
         zero_reference=cfg.data.dataset.zero_reference,
         return_item_paths=True,
     )
+    # multi-device inference: batch sharded over a 1-D data mesh (replaces the
+    # reference's DDP predict, task/predict.py:119-124); no-op on one chip
+    from crossscore_tpu.parallel import make_mesh, batch_sharding
+
+    mesh = make_mesh(batch_size=cfg.data.loader.validation.batch_size)
     loader = Loader(
         dataset,
         batch_size=cfg.data.loader.validation.batch_size,
@@ -66,6 +71,7 @@ def predict(cfg) -> Path:
         num_workers=cfg.data.loader.validation.num_workers,
         prefetch_batches=cfg.data.loader.validation.prefetch_factor,
         seed=cfg.seed,
+        sharding=batch_sharding(mesh),
     )
 
     mcfg = CrossScoreConfig.from_config(cfg)

@@ -56,6 +56,10 @@ def test(cfg) -> Path:
         resize_short_side=cfg.this_main.resize_short_side,
         deterministic_crop=True,
     )
+    # multi-device eval: batch sharded over a 1-D data mesh; no-op on one chip
+    from crossscore_tpu.parallel import make_mesh, batch_sharding
+
+    mesh = make_mesh(batch_size=cfg.data.loader.validation.batch_size)
     loader = Loader(
         dataset,
         batch_size=cfg.data.loader.validation.batch_size,
@@ -63,6 +67,7 @@ def test(cfg) -> Path:
         num_workers=cfg.data.loader.validation.num_workers,
         prefetch_batches=cfg.data.loader.validation.prefetch_factor,
         seed=cfg.seed,
+        sharding=batch_sharding(mesh),
     )
 
     mcfg = CrossScoreConfig.from_config(cfg)
