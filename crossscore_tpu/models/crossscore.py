@@ -103,6 +103,10 @@ class CrossScoreNet(nn.Module):
         """
         c = self.cfg
         if norm_img:
+            # DELIBERATE DEVIATION: reference task/core.py:76-81 divides by the
+            # ImageNet MEAN for both mean and std (it reuses img_mean for
+            # img_std — a reference bug on a path it never exercises, since
+            # both stacks always pass norm_img=False). We normalise correctly.
             from crossscore_tpu.io.images import IMAGENET_MEAN, IMAGENET_STD
 
             mean = jnp.asarray(IMAGENET_MEAN, query_img.dtype)

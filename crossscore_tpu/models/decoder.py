@@ -28,28 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from crossscore_tpu.models.dinov2 import LayerNorm
-
-
-def dense_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    *,
-    return_probs: bool = False,
-):
-    """Dense multi-head attention core: (B, H, Nq, hd) x (B, H, Nk, hd).
-
-    Softmax statistics in fp32. torch ``MultiheadAttention`` scales q by
-    1/sqrt(head_dim) before the QK^T product.
-    """
-    hd = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
-    if return_probs:
-        return out, probs
-    return out
+from crossscore_tpu.ops.attention import dense_attention  # noqa: F401 (re-export)
 
 
 class TorchStyleMHA(nn.Module):

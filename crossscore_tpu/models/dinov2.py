@@ -97,23 +97,18 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
+        q = q.transpose(0, 2, 1, 3)  # (B, H, N, hd)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
         if self.attention_impl == "pallas":
             from crossscore_tpu.ops.flash_attention import flash_cross_attention, pick_blocks
 
-            bq, bk = pick_blocks(n, n)
-            out = flash_cross_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                bq,
-                bk,
-            ).transpose(0, 2, 1, 3)
+            out = flash_cross_attention(q, k, v, *pick_blocks(n, n))
         else:
-            scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-            probs = jax.nn.softmax(logits * scale, axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v)
-        out = out.reshape(b, n, d)
+            from crossscore_tpu.ops.attention import dense_attention
+
+            out = dense_attention(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         return nn.Dense(d, dtype=self.dtype, name="out")(out)
 
 

@@ -1,0 +1,30 @@
+"""Shared dense attention core (the XLA / non-fused path).
+
+Single implementation used by both the backbone self-attention
+(models/dinov2.py) and the cross-reference decoder (models/decoder.py);
+softmax statistics always fp32, torch-MHA scaling (q scaled by
+1/sqrt(head_dim)). The fused Pallas path lives in ops/flash_attention.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dense_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    return_probs: bool = False,
+):
+    """(B, H, Nq, hd) x (B, H, Nk, hd) -> (B, H, Nq, hd) dense attention."""
+    hd = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    if return_probs:
+        return out, probs
+    return out

@@ -51,10 +51,8 @@ def pick_blocks(nq: int, nk: int) -> tuple[int, int]:
         bk = _ceil_to(nk, 128)
         if nq >= 1024:
             bq = _ceil_to((nq + 1) // 2, 8)  # two q blocks, e.g. 688 for 1370
-        elif nq >= 512:
-            bq = 512
         else:
-            bq = _ceil_to(nq, 8)
+            bq = _ceil_to(nq, 8)  # single q block, no padding waste
         return bq, bk
     return (512 if nq >= 512 else _ceil_to(nq, 128)), 1024
 
@@ -78,11 +76,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr,
     )  # (bq, bk)
     s = s * sm_scale
 
-    # mask padded reference tokens (static: padding only in the last block)
+    # mask padded reference tokens; load-bearing for the padded last block
     col0 = kv_idx * block_k
-    if True:  # masking is cheap; keep unconditional for simplicity & safety
-        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col_ids < kv_valid, s, NEG_INF)
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col_ids < kv_valid, s, NEG_INF)
 
     m_prev = m_scr[...]  # (bq, LANES) replicated
     l_prev = l_scr[...]

@@ -141,7 +141,11 @@ def train(cfg) -> Path:
 
         params["backbone"] = load_params(bb_init, like=params["backbone"])
 
-    tx, lr_schedule = make_optimizer(cfg, params, steps_per_epoch=max(1, steps_per_epoch))
+    # the epoch-interval StepLR must count ACTUAL optimiser steps per epoch
+    # (limit_train_batches/overfit shrink the epoch), matching Lightning's
+    # per-real-epoch stepping
+    actual_steps_per_epoch = max(1, min(steps_per_epoch, limit_train))
+    tx, lr_schedule = make_optimizer(cfg, params, steps_per_epoch=actual_steps_per_epoch)
     state = create_train_state(params, tx)
     state = jax.device_put(state, replicated(mesh))
 
@@ -157,7 +161,7 @@ def train(cfg) -> Path:
 
         resume_mgr = CM(cfg.trainer.ckpt_path_to_load)
         state = resume_mgr.restore(None, like=state)
-        start_epoch = int(state.step) // max(1, steps_per_epoch)
+        start_epoch = int(state.step) // actual_steps_per_epoch
         print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
 
     train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))

@@ -38,8 +38,14 @@ def step_lr_schedule(
     return schedule
 
 
-def make_optimizer(cfg, params, steps_per_epoch: int) -> optax.GradientTransformation:
-    """Build the masked AdamW + StepLR optimizer from a composed config."""
+def make_optimizer(
+    cfg, params, steps_per_epoch: int
+) -> tuple[optax.GradientTransformation, Callable[[int], float]]:
+    """Build the masked AdamW + StepLR optimizer from a composed config.
+
+    ``steps_per_epoch`` must be the number of optimiser steps actually taken
+    per epoch (after any limit_train_batches/overfit truncation) so the
+    epoch-interval schedule decays at the right wall-clock point."""
     opt_cfg = cfg.trainer.optimizer
     if opt_cfg.type != "AdamW":
         raise NotImplementedError(f"optimizer {opt_cfg.type}")

@@ -45,6 +45,15 @@ def loss_fn(model: CrossScoreNet, params, batch):
     return loss, (pred, l1)
 
 
+def _metrics(loss, pred, gt) -> dict:
+    return {
+        "loss": loss,
+        "loss_cross": loss,
+        "psnr_cross": abs2psnr(loss),
+        "correlation_cross": correlation(pred, gt),
+    }
+
+
 def make_train_step(model: CrossScoreNet, tx) -> Callable:
     def train_step(state: TrainState, batch):
         (loss, (pred, l1)), grads = jax.value_and_grad(
@@ -52,14 +61,8 @@ def make_train_step(model: CrossScoreNet, tx) -> Callable:
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "loss": loss,
-            "loss_cross": loss,
-            "psnr_cross": abs2psnr(loss),
-            "correlation_cross": correlation(pred, batch["query/score_map"]),
-        }
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
-        return new_state, metrics
+        return new_state, _metrics(loss, pred, batch["query/score_map"])
 
     return train_step
 
@@ -67,13 +70,7 @@ def make_train_step(model: CrossScoreNet, tx) -> Callable:
 def make_eval_step(model: CrossScoreNet) -> Callable:
     def eval_step(params, batch):
         loss, (pred, l1) = loss_fn(model, params, batch)
-        metrics = {
-            "loss": loss,
-            "loss_cross": loss,
-            "psnr_cross": abs2psnr(loss),
-            "correlation_cross": correlation(pred, batch["query/score_map"]),
-        }
-        return pred, metrics
+        return pred, _metrics(loss, pred, batch["query/score_map"])
 
     return eval_step
 

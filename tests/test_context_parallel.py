@@ -56,3 +56,33 @@ class TestContextParallelAttention:
         assert np.isfinite(out).all()
         expected = np.asarray(dense_attention(q, k, v))
         np.testing.assert_allclose(out, expected, atol=1e-4)
+
+
+class TestContextParallelGradients:
+    def test_grads_match_dense(self, rng):
+        b, h, nq, nk, hd = 1, 2, 40, 256, 32
+        q = jnp.asarray(rng.standard_normal((b, h, nq, hd)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, nk, hd)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, nk, hd)).astype(np.float32))
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("ctx",))
+
+        def sharded_loss(q, k, v):
+            def inner(q, k, v):
+                out = context_parallel_cross_attention(q, k, v, axis_name="ctx")
+                return jax.lax.psum(jnp.sum(out**2), axis_name="ctx") / 4.0
+
+            return shard_map(
+                inner, mesh=mesh,
+                in_specs=(P(), P(None, None, "ctx", None), P(None, None, "ctx", None)),
+                out_specs=P(), check_vma=False,
+            )(q, k, v)
+
+        def dense_loss(q, k, v):
+            return jnp.sum(dense_attention(q, k, v) ** 2)
+
+        g_cp = jax.grad(sharded_loss, argnums=(0, 1, 2))(q, k, v)
+        g_d = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g_cp, g_d, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, err_msg=f"grad {name}"
+            )
