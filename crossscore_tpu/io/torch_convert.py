@@ -168,17 +168,30 @@ def main(argv=None) -> None:
     from crossscore_tpu.io.checkpoint import save_params
 
     ap = argparse.ArgumentParser(description="Convert a torch CrossScore ckpt to orbax")
-    ap.add_argument("ckpt", help="path to the Lightning .ckpt file")
+    ap.add_argument("ckpt", help="Lightning .ckpt file, or (with --hf-backbone) a "
+                                 "HuggingFace Dinov2 model dir / name")
     ap.add_argument("out_dir", help="orbax checkpoint output directory")
     ap.add_argument("--backbone-layers", type=int, default=12)
     ap.add_argument("--decoder-layers", type=int, default=2)
     ap.add_argument("--d-model", type=int, default=384)
+    ap.add_argument(
+        "--hf-backbone",
+        action="store_true",
+        help="convert only a HF Dinov2Model backbone (for model.backbone.init_path)",
+    )
     args = ap.parse_args(argv)
 
-    sd = load_torch_checkpoint(args.ckpt)
-    params = convert_lightning_ckpt(
-        sd, args.backbone_layers, args.decoder_layers, args.d_model
-    )
+    if args.hf_backbone:
+        from transformers import Dinov2Model
+
+        model = Dinov2Model.from_pretrained(args.ckpt)
+        sd = state_dict_to_numpy(model.state_dict())
+        params = convert_hf_dinov2(sd, model.config.num_hidden_layers)
+    else:
+        sd = load_torch_checkpoint(args.ckpt)
+        params = convert_lightning_ckpt(
+            sd, args.backbone_layers, args.decoder_layers, args.d_model
+        )
     save_params(args.out_dir, params)
     print(f"Converted {args.ckpt} -> {args.out_dir}")
 

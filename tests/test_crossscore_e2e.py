@@ -186,3 +186,41 @@ class TestTrainableMask:
         flat_bb = jax.tree_util.tree_leaves(mask["backbone"])
         assert all(v is False for v in flat_bb)
         assert mask["pos_enc"]["pe"] is False
+
+
+class TestConverterCLI:
+    def test_lightning_ckpt_cli_roundtrip(self, stack, tmp_path, rng):
+        """Full converter CLI: torch .ckpt -> orbax -> load_model_params -> same scores."""
+        import torch as _torch
+
+        hf, pe, dec, head0, head2 = stack
+        sd = {}
+        for k_, v_ in hf.state_dict().items():
+            sd[f"model.backbone.{k_}"] = v_
+        sd["model.pos_enc_fn.PE"] = pe
+        for k_, v_ in dec.state_dict().items():
+            sd[f"model.ref_cross.attn.{k_}"] = v_
+        for k_, v_ in head0.state_dict().items():
+            sd[f"model.ref_cross.head.0.{k_}"] = v_
+        for k_, v_ in head2.state_dict().items():
+            sd[f"model.ref_cross.head.2.{k_}"] = v_
+        ckpt_path = tmp_path / "model.ckpt"
+        _torch.save({"state_dict": sd}, ckpt_path)
+
+        out_dir = tmp_path / "orbax"
+        from crossscore_tpu.io.torch_convert import main as convert_main
+
+        convert_main([str(ckpt_path), str(out_dir),
+                      "--backbone-layers", str(VIT.num_layers),
+                      "--decoder-layers", "2", "--d-model", str(D)])
+
+        from crossscore_tpu.io.checkpoint import load_params
+        from crossscore_tpu.io.torch_convert import convert_lightning_ckpt, state_dict_to_numpy
+
+        direct = convert_lightning_ckpt(
+            state_dict_to_numpy(sd), num_backbone_layers=VIT.num_layers,
+            num_decoder_layers=2, d_model=D,
+        )
+        restored = load_params(out_dir, like=jax.tree_util.tree_map(np.asarray, direct))
+        for a, b in zip(jax.tree_util.tree_leaves(direct), jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
