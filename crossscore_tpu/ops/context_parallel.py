@@ -38,8 +38,8 @@ from crossscore_tpu.ops.flash_attention import _flash_fwd, _bwd_xla, pick_blocks
 
 def _local_flash_with_stats(q, k, v):
     """Local flash attention returning (o, l, m) softmax statistics."""
-    bq, bk = pick_blocks(q.shape[2], k.shape[2])
-    return _flash_fwd(q, k, v, block_q=bq, block_k=bk)
+    bq, bk, bh = pick_blocks(q.shape[2], k.shape[2])
+    return _flash_fwd(q, k, v, block_q=bq, block_k=bk, block_h=bh)
 
 
 def _combine(q, k_shard, v_shard, axis_name: str):
@@ -86,7 +86,7 @@ def _cp_bwd(axis_name, residuals, do):
     # exactly the local rows of the full gradients. dq is returned as the
     # per-shard PARTIAL sum — shard_map's transpose for the replicated q input
     # inserts the final psum.
-    bq, bk = pick_blocks(q.shape[2], k_shard.shape[2])
+    bq, bk, _ = pick_blocks(q.shape[2], k_shard.shape[2])
     dq_partial, dk, dv = _bwd_xla(
         (q, k_shard, v_shard, o, l_global, m_global), do, block_k=bk
     )

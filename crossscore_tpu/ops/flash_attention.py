@@ -41,20 +41,23 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pick_blocks(nq: int, nk: int) -> tuple[int, int]:
-    """Tuned block sizes (v5e measurements, PERFORMANCE.md): large q blocks
-    amortise softmax bookkeeping; when the whole KV fits one VMEM-friendly
-    block (<=2048 tokens) a single exact-softmax kv step wins, with block_q
-    half the query axis (~700 for 1370 tokens: 8.97ms vs 9.49 at 512). The q
-    axis only needs sublane (8) granularity — lanes are the last (head) dim."""
+def pick_blocks(nq: int, nk: int) -> tuple[int, int, int]:
+    """Tuned (block_q, block_k, block_h) (v5e measurements, PERFORMANCE.md):
+    large q blocks amortise softmax bookkeeping; when the whole KV fits one
+    VMEM-friendly block (<=2048 tokens) a single exact-softmax kv step wins,
+    with block_q half the query axis (~700 for 1370 tokens: 8.97ms vs 9.49 at
+    512) and two batch*head slices per grid cell when the score tiles fit VMEM
+    (52.0 -> 53.1 maps/s end to end). The q axis only needs sublane (8)
+    granularity — lanes are the last (head) dim."""
     if nk <= 2048:
         bk = _ceil_to(nk, 128)
         if nq >= 1024:
             bq = _ceil_to((nq + 1) // 2, 8)  # two q blocks, e.g. 688 for 1370
         else:
             bq = _ceil_to(nq, 8)  # single q block, no padding waste
-        return bq, bk
-    return (512 if nq >= 512 else _ceil_to(nq, 128)), 1024
+        bh = 2 if bq * bk * 8 <= 12 * 1024 * 1024 else 1  # 2 fp32 score tiles
+        return bq, bk, bh
+    return (512 if nq >= 512 else _ceil_to(nq, 128)), 1024, 1
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr, *,
@@ -107,34 +110,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr,
 
 
 def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
-                       sm_scale: float, kv_valid: int):
+                       sm_scale: float, kv_valid: int, block_h: int):
     """Single-KV-block variant: the whole reference axis fits one VMEM block,
-    so the plain (exact) softmax replaces the online-softmax bookkeeping."""
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * sm_scale
-    if kv_valid < s.shape[1]:
-        # NOTE: a tail-only mask via slice+concatenate measured SLOWER (the
-        # concatenate copies the whole tile); the full-width where is cheap
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col_ids < kv_valid, s, NEG_INF)
+    so the plain (exact) softmax replaces the online-softmax bookkeeping.
+    ``block_h`` (batch*head) slices are processed per grid cell (statically
+    unrolled) to amortise per-cell DMA/pipeline overhead."""
+    for hh in range(block_h):
+        q = q_ref[hh]
+        k = k_ref[hh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale
+        if kv_valid < s.shape[1]:
+            # NOTE: a tail-only mask via slice+concatenate measured SLOWER (the
+            # concatenate copies the whole tile); the full-width where is cheap
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col_ids < kv_valid, s, NEG_INF)
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp2(LOG2E * (s - m))
-    l = jnp.sum(p, axis=1, keepdims=True)
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    v = v_ref[0]
-    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
-    l_ref[0] = l.astype(l_ref.dtype)
-    m_ref[0] = m.astype(m_ref.dtype)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(LOG2E * (s - m))
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        v = v_ref[hh]
+        o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[hh] = (o * l_inv).astype(o_ref.dtype)
+        l_ref[hh] = l.astype(l_ref.dtype)
+        m_ref[hh] = m.astype(m_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "block_h"))
+def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 1):
     """q: (B, H, Nq, hd); k, v: (B, H, Nk, hd) -> (o, l, m) with padding stripped."""
     b, h, nq, hd = q.shape
     nk = k.shape[2]
@@ -149,10 +155,14 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024):
     vf = jnp.pad(v.reshape(bh, nk, hd), ((0, 0), (0, nk_p - nk), (0, 0)))
 
     single_kv = nk_p == block_k
-    grid = (bh, nq_p // block_q, nk_p // block_k)
+    if not single_kv or bh % block_h:
+        block_h = 1  # multi-slice cells only for the single-pass kernel
+    grid = (bh // block_h, nq_p // block_q, nk_p // block_k)
 
     if single_kv:
-        kernel = functools.partial(_fwd_kernel_single, sm_scale=sm_scale, kv_valid=nk)
+        kernel = functools.partial(
+            _fwd_kernel_single, sm_scale=sm_scale, kv_valid=nk, block_h=block_h
+        )
         scratch_shapes = []
     else:
         kernel = functools.partial(
@@ -167,14 +177,14 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda bh_, qi, ki: (bh_, ki, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda bh_, qi, ki: (bh_, ki, 0)),
+            pl.BlockSpec((block_h, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((block_h, block_k, hd), lambda bh_, qi, ki: (bh_, ki, 0)),
+            pl.BlockSpec((block_h, block_k, hd), lambda bh_, qi, ki: (bh_, ki, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((block_h, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((block_h, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((block_h, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq_p, hd), q.dtype),
@@ -247,22 +257,25 @@ def _bwd_xla(residuals, do, *, block_k: int):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_cross_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_cross_attention(q, k, v, block_q: int = 512, block_k: int = 1024,
+                          block_h: int = 1):
     """Fused attention: softmax(q k^T / sqrt(hd)) v over the reference axis.
 
     q: (B, H, Nq, hd); k, v: (B, H, Nk, hd). Returns (B, H, Nq, hd).
+    ``block_h`` packs multiple batch*head slices per grid cell (single-KV-pass
+    kernel only; silently 1 otherwise).
     """
-    o, _, _ = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k)
+    o, _, _ = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k, block_h=block_h)
     return o
 
 
-def _fca_fwd(q, k, v, block_q, block_k):
-    o, l, m = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k)
+def _fca_fwd(q, k, v, block_q, block_k, block_h):
+    o, l, m = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k, block_h=block_h)
     return o, (q, k, v, o, l, m)
 
 
-def _fca_bwd(block_q, block_k, residuals, do):
+def _fca_bwd(block_q, block_k, block_h, residuals, do):
     return _bwd_xla(residuals, do, block_k=block_k)
 
 

@@ -71,3 +71,18 @@ class TestFlashBackward:
         g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_f, g_d):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+class TestBlockH:
+    @pytest.mark.parametrize("block_h", [2, 3])
+    def test_multi_slice_cells_match_dense(self, rng, block_h):
+        q, k, v = _rand_qkv(rng, b=2, h=3, nq=64, nk=200)
+        ours = flash_cross_attention(q, k, v, 128, 256, block_h)
+        expected = dense_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(expected), atol=2e-5)
+
+    def test_indivisible_block_h_falls_back(self, rng):
+        q, k, v = _rand_qkv(rng, b=1, h=3, nq=32, nk=100)  # bh=3, block_h=2
+        ours = flash_cross_attention(q, k, v, 128, 128, 2)
+        expected = dense_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(expected), atol=2e-5)
