@@ -17,7 +17,6 @@ import numpy as np
 
 from crossscore_tpu.data.nvs_index import NvsDataset
 from crossscore_tpu.data.crop import get_crop_params, crop as crop_arr
-from crossscore_tpu.io.images import denormalize_imagenet
 
 
 def debug_item(ds: NvsDataset, idx: int, rng: np.random.Generator) -> dict:

@@ -16,8 +16,6 @@ import time
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

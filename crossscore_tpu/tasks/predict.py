@@ -17,7 +17,6 @@ loader and H2D-transferred asynchronously.
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
 import numpy as np
