@@ -56,6 +56,9 @@ def pick_blocks(nq: int, nk: int) -> tuple[int, int, int]:
         else:
             bq = _ceil_to(nq, 8)  # single q block, no padding waste
         bh = 2 if bq * bk * 8 <= 12 * 1024 * 1024 else 1  # 2 fp32 score tiles
+        import os
+
+        bh = int(os.environ.get("CROSSSCORE_FLASH_BLOCK_H", bh))  # tuning knob
         return bq, bk, bh
     return (512 if nq >= 512 else _ceil_to(nq, 128)), 1024, 1
 

@@ -194,3 +194,55 @@ class TestPredictEdgeCases:
         )
         attn_pngs = list((out_dir / "batch" / "attn_weights").rglob("*.png"))
         assert len(attn_pngs) == 3 * 2  # 3 queries x K=2 refs, centre patch
+
+
+class TestProfilingFlag:
+    def test_trace_written(self, ws):
+        from crossscore_tpu.tasks.train import main
+
+        run_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.path=[datadir]",
+                "data.loader.train.batch_size=1",
+                "data.loader.validation.batch_size=1",
+                "data.loader.train.num_workers=1",
+                "data.loader.validation.num_workers=1",
+                "data.transforms.crop_size=56",
+                "this_main.resize_short_side=-1",
+                "trainer.num_sanity_val_steps=0",
+                "trainer.limit_val_batches=1",
+                "trainer.max_epochs=4",
+                "trainer.max_steps=23",
+                "trainer.do_profiling=true",
+                "alias=prof",
+            ]
+        )
+        import glob
+
+        traces = glob.glob(str(run_dir / "profiler" / "**" / "*.xplane.pb"), recursive=True)
+        assert traces, f"no profiler trace under {run_dir}/profiler"
+
+
+class TestPredictCropMode:
+    def test_dataset_default_crop(self, ws):
+        from crossscore_tpu.tasks.predict import main
+
+        out_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.query_dir=datadir/res_540/s00002/test/ours_1000/renders",
+                "data.dataset.reference_dir=datadir/res_540/s00002/train/ours_1000/gt",
+                "this_main.crop_mode=dataset_default",
+                "data.transforms.crop_size=56",
+                "this_main.resize_short_side=84",
+                "data.loader.validation.batch_size=3",
+                "data.loader.validation.num_workers=1",
+                "alias=cropped",
+            ]
+        )
+        from PIL import Image
+
+        maps = list((out_dir / "batch" / "score_map_ref_cross").glob("*.png"))
+        img = Image.open(maps[0])
+        assert img.size == (56, 56)  # crop applied
