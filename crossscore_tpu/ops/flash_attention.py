@@ -116,9 +116,12 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
                        sm_scale: float, kv_valid: int, block_h: int):
     """Single-KV-block variant: the whole reference axis fits one VMEM block,
     so the plain (exact) softmax replaces the online-softmax bookkeeping.
-    ``block_h`` (batch*head) slices are processed per grid cell (statically
-    unrolled) to amortise per-cell DMA/pipeline overhead."""
-    for hh in range(block_h):
+    ``block_h`` (batch*head) slices are processed per grid cell to amortise
+    per-cell DMA/pipeline overhead. Up to 2 slices are statically unrolled
+    (separate score tiles pipeline); beyond that a fori_loop keeps ONE live
+    score tile (unrolled >2 exceeds the 16M scoped-VMEM limit)."""
+
+    def one_slice(hh):
         q = q_ref[hh]
         k = k_ref[hh]
         s = jax.lax.dot_general(
@@ -140,6 +143,12 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
         o_ref[hh] = (o * l_inv).astype(o_ref.dtype)
         l_ref[hh] = l.astype(l_ref.dtype)
         m_ref[hh] = m.astype(m_ref.dtype)
+
+    if block_h <= 2:
+        for hh in range(block_h):
+            one_slice(hh)
+    else:
+        jax.lax.fori_loop(0, block_h, lambda hh, c: (one_slice(hh), c)[1], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "block_h"))
