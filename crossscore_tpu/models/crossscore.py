@@ -128,11 +128,14 @@ class CrossScoreNet(nn.Module):
             all_imgs = jnp.concatenate([all_imgs, ref_imgs], axis=1)
         all_imgs = all_imgs.reshape(b * (1 + k_ref), hgt, wdt, 3)
 
+        # cp:<axis> is decoder-cross-attention-only; the backbone always runs
+        # local attention (its views are whole per-chip under view parallelism)
+        backbone_impl = "pallas" if c.attention_impl.startswith("cp:") else c.attention_impl
         tokens = Dinov2Encoder(
             c.backbone,
             dtype=dt,
             remat=c.remat_backbone,
-            attention_impl=c.attention_impl,
+            attention_impl=backbone_impl,
             name="backbone",
         )(all_imgs)
         tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone

@@ -62,6 +62,15 @@ class TorchStyleMHA(nn.Module):
         probs = None
         if need_weights:
             out, probs = dense_attention(q, k, v, return_probs=True)
+        elif self.attention_impl.startswith("cp:"):
+            # context parallel: k/v are the LOCAL shard of the reference axis;
+            # exact global softmax via pmax/psum over the named mesh axis
+            # (must run under shard_map — see parallel/view_parallel.py)
+            from crossscore_tpu.ops.context_parallel import context_parallel_cross_attention
+
+            out = context_parallel_cross_attention(
+                q, k, v, axis_name=self.attention_impl.split(":", 1)[1]
+            )
         elif self.attention_impl == "pallas":
             from crossscore_tpu.ops.flash_attention import flash_cross_attention, pick_blocks
 
@@ -88,9 +97,13 @@ class DecoderLayer(nn.Module):
     def __call__(self, x, memory, need_weights: bool = False):
         mha_weights = None
 
+        # cp:<axis> only applies to the cross-attention (the reference-token
+        # axis is the sharded one); query self-attention stays local
+        local_impl = "xla" if self.attention_impl.startswith("cp:") else self.attention_impl
+
         if self.do_self_attn:
             sa_out, _ = TorchStyleMHA(
-                self.d_model, self.num_heads, self.dtype, self.attention_impl, name="self_attn"
+                self.d_model, self.num_heads, self.dtype, local_impl, name="self_attn"
             )(x, x, x, need_weights=False)
             x = x + sa_out if self.do_short_cut else sa_out
             x = LayerNorm(self.layer_norm_eps, name="norm1")(x)
