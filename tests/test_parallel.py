@@ -161,3 +161,25 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(2)
+
+
+class TestConvergence:
+    def test_overfit_single_batch(self, model_and_params):
+        """40 masked-AdamW steps on one batch must cut the loss sharply —
+        guards the whole optimisation path (grads, masking, schedule)."""
+        model, params = model_and_params
+        cfg = load_config("default", overrides=["trainer.optimizer.lr=1e-3"])
+        tx, _ = make_optimizer(cfg, params, steps_per_epoch=1000)
+        state = create_train_state(params, tx)
+        batch = _batch(np.random.default_rng(9), 2)
+        step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+        first = None
+        for i in range(40):
+            state, metrics = step(state, batch)
+            if i == 0:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        # noise targets bound the reachable loss; a 20% drop in 40 steps
+        # guards the mechanism (grads/masking/schedule), observed ~27%
+        assert last < first * 0.8, f"loss {first:.4f} -> {last:.4f} did not drop 20%"
