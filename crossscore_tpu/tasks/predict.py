@@ -105,12 +105,9 @@ def predict(cfg) -> Path:
 
     max_batches = resolve_limit(cfg.trainer.limit_test_batches, loader.batches_per_epoch())
 
-    for batch_idx, batch in enumerate(loader.epoch(0)):
-        if max_batches is not None and batch_idx >= max_batches:
-            break
-        outputs = step(params, batch["query/img"], batch.get("reference/cross/imgs"))
-        outputs = {k: np.asarray(v, dtype=np.float32) for k, v in outputs.items()}
-
+    def process(batch_idx, batch, outputs_dev):
+        # materialising blocks on the device; everything after is host-side
+        outputs = {k: np.asarray(v, dtype=np.float32) for k, v in outputs_dev.items()}
         summariser.update(batch_input=batch, batch_output=outputs)
         if vis_every > 0 and batch_idx % vis_every == 0:
             import matplotlib.pyplot as plt
@@ -120,7 +117,20 @@ def predict(cfg) -> Path:
             plt.close(fig)
         if writer is not None:
             writer.write_out(batch, outputs, local_rank=jax.process_index(), batch_idx=batch_idx)
+
+    # one-deep pipeline: dispatch batch i+1 before materialising batch i's
+    # outputs, overlapping device compute with host-side writing
+    pending = None
+    for batch_idx, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and batch_idx >= max_batches:
+            break
+        outputs_dev = step(params, batch["query/img"], batch.get("reference/cross/imgs"))
+        if pending is not None:
+            process(*pending)
+        pending = (batch_idx, batch, outputs_dev)
         n_batches += 1
+    if pending is not None:
+        process(*pending)
 
     summariser.summarise()
     print(f"predict done: {n_batches} batches -> {out_dir}")

@@ -94,22 +94,19 @@ def test(cfg) -> Path:
     max_batches = resolve_limit(cfg.trainer.limit_test_batches, loader.batches_per_epoch())
 
     rows = []
-    for batch_idx, batch in enumerate(loader.epoch(0)):
-        if max_batches is not None and batch_idx >= max_batches:
-            break
-        arrays = {k: v for k, v in batch.items() if k not in ("item_paths", "_valid")}
-        pred, metrics = eval_step(params, arrays)
-        outputs = {"score_map_ref_cross": np.asarray(pred, dtype=np.float32)}
-        row = {
-            "batch_idx": batch_idx,
-            "test/loss": float(metrics["loss"]),
-            "test/loss_cross": float(metrics["loss_cross"]),
-            "test/corr_cross": float(metrics["correlation_cross"]),
-            "test/psnr_cross": float(metrics["psnr_cross"]),
-        }
-        rows.append(row)
-        summariser.update(batch_input=batch, batch_output=outputs)
 
+    def process(batch_idx, batch, pred_dev, metrics_dev):
+        outputs = {"score_map_ref_cross": np.asarray(pred_dev, dtype=np.float32)}
+        rows.append(
+            {
+                "batch_idx": batch_idx,
+                "test/loss": float(metrics_dev["loss"]),
+                "test/loss_cross": float(metrics_dev["loss_cross"]),
+                "test/corr_cross": float(metrics_dev["correlation_cross"]),
+                "test/psnr_cross": float(metrics_dev["psnr_cross"]),
+            }
+        )
+        summariser.update(batch_input=batch, batch_output=outputs)
         if vis_every > 0 and batch_idx % vis_every == 0:
             import matplotlib.pyplot as plt
 
@@ -118,6 +115,19 @@ def test(cfg) -> Path:
             plt.close(fig)
         if writer is not None:
             writer.write_out(batch, outputs, local_rank=jax.process_index(), batch_idx=batch_idx)
+
+    # one-deep pipeline: overlap device compute with host-side writing
+    pending = None
+    for batch_idx, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and batch_idx >= max_batches:
+            break
+        arrays = {k: v for k, v in batch.items() if k not in ("item_paths", "_valid")}
+        pred_dev, metrics_dev = eval_step(params, arrays)
+        if pending is not None:
+            process(*pending)
+        pending = (batch_idx, batch, pred_dev, metrics_dev)
+    if pending is not None:
+        process(*pending)
 
     # CSVLogger-equivalent epoch metrics
     if rows:
