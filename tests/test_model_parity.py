@@ -195,3 +195,17 @@ class TestPallasBackboneParity:
         a = Dinov2Encoder(SMALL_VIT, attention_impl="xla").apply({"params": params}, jnp.asarray(img))
         b = Dinov2Encoder(SMALL_VIT, attention_impl="pallas").apply({"params": params}, jnp.asarray(img))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+class TestDinov2DownscaleParity:
+    def test_pos_emb_downscale_matches_hf(self, rng):
+        """Inputs SMALLER than the native grid downscale the pos-emb (bicubic,
+        no antialias in transformers 4.57 — pinned here)."""
+        model = _hf_dinov2(SMALL_VIT)
+        params = convert_hf_dinov2(state_dict_to_numpy(model.state_dict()), SMALL_VIT.num_layers)
+        img = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)  # 2x2 grid < 4x4 native
+        with torch.no_grad():
+            expected = model(torch.tensor(img).permute(0, 3, 1, 2)).last_hidden_state.numpy()
+        ours = Dinov2Encoder(SMALL_VIT).apply({"params": params}, jnp.asarray(img))
+        assert ours.shape == expected.shape == (1, 5, 64)
+        np.testing.assert_allclose(np.asarray(ours), expected, atol=5e-4)
