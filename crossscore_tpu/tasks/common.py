@@ -15,8 +15,20 @@ from crossscore_tpu.confsys import Config, load_config, set_key
 
 
 def parse_cli(config_name: str, argv: Optional[list[str]] = None) -> Config:
-    """Hydra-style CLI: every argument is a ``key.sub=value`` override."""
+    """Hydra-style CLI: every argument is a ``key.sub=value`` override
+    (or ``group=choice`` to swap a config group; ``--help`` prints the
+    composed config)."""
     argv = sys.argv[1:] if argv is None else argv
+    if any(a in ("--help", "-h", "help") for a in argv):
+        import yaml
+
+        cfg = load_config(config_name, overrides=[a for a in argv if "=" in a])
+        print(
+            f"usage: override any key below as key.sub=value "
+            f"(root config: {config_name}.yaml)\n"
+        )
+        print(yaml.safe_dump(cfg.to_dict(), sort_keys=False))
+        sys.exit(0)
     return load_config(config_name, overrides=argv)
 
 
