@@ -243,7 +243,9 @@ def train(cfg) -> Path:
                         "train/loss_cross": m["loss_cross"],
                         "train/psnr_cross": m["psnr_cross"],
                         "train/correlation_cross": m["correlation_cross"],
-                        "train/lr": float(lr_schedule(global_step)),
+                        # optax count at the time of this update (post-step
+                        # global_step is one ahead)
+                        "train/lr": float(lr_schedule(global_step - 1)),
                         "train/steps_per_sec": global_step / max(1e-9, time.time() - t_start),
                     },
                     global_step,

@@ -246,3 +246,38 @@ class TestPredictCropMode:
         maps = list((out_dir / "batch" / "score_map_ref_cross").glob("*.png"))
         img = Image.open(maps[0])
         assert img.size == (56, 56)  # crop applied
+
+
+class TestLRScheduleE2E:
+    def test_epoch_decay_follows_actual_steps(self, ws):
+        """StepLR(step_size=2 epochs) with limit_train_batches=2: the LR must
+        halve after 4 optimiser steps (2 actual-steps/epoch), not after
+        2*batches_per_epoch steps (the pre-fix behaviour)."""
+        import json
+        from crossscore_tpu.tasks.train import main
+
+        run_dir = main(
+            SMALL_OVERRIDES
+            + [
+                "data.dataset.path=[datadir]",
+                "data.loader.train.batch_size=2",
+                "data.loader.validation.batch_size=2",
+                "data.loader.train.num_workers=1",
+                "data.loader.validation.num_workers=1",
+                "data.transforms.crop_size=56",
+                "this_main.resize_short_side=-1",
+                "trainer.num_sanity_val_steps=0",
+                "trainer.limit_val_batches=1",
+                "trainer.limit_train_batches=2",
+                "trainer.max_epochs=4",
+                "trainer.lr_scheduler.step_size=2",
+                "logger.vis_scalar_every_n_train_steps=1",
+                "alias=lr",
+            ]
+        )
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        lr_by_step = {r["step"]: r["train/lr"] for r in rows if "train/lr" in r}
+        base = lr_by_step[1]
+        assert lr_by_step[4] == pytest.approx(base)          # still epoch 2
+        assert lr_by_step[5] == pytest.approx(base * 0.5)    # decayed after 2 epochs
+        assert lr_by_step[8] == pytest.approx(base * 0.5)
