@@ -87,27 +87,43 @@ class Loader:
         self.num_shards = num_shards
         self.sharding = sharding
 
-    def _epoch_indices(self, epoch: int) -> np.ndarray:
+    def _epoch_indices(self, epoch: int) -> tuple[np.ndarray, int]:
+        """This shard's index list and its count of non-duplicate entries.
+
+        Multi-host: the index space is padded by wrap-around so every shard
+        sees the same number of samples (reference DistributedSampler
+        semantics, ``task/train.py:111``) — trimming would silently never
+        evaluate up to num_shards-1 samples. The wrapped duplicates land at
+        the END of the shard's list (strided split of a tail-padded array),
+        so the ``_valid`` prefix count of the final batch excludes them and
+        eval metrics/writers still see every sample exactly once.
+        """
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             idx = _fold_rng(self.seed, epoch, _PERM_SENTINEL).permutation(n)
         if self.num_shards > 1:
-            # even per-shard counts: trim the remainder (DistributedSampler pads;
-            # trimming keeps per-host batches aligned without duplicate samples)
-            per = n // self.num_shards
-            idx = idx[self.shard_index * per : (self.shard_index + 1) * per]
-        return idx
+            total = -(-n // self.num_shards) * self.num_shards
+            padded = np.concatenate([idx, idx[: total - n]])
+            local = padded[self.shard_index :: self.num_shards]
+            global_pos = self.shard_index + np.arange(len(local)) * self.num_shards
+            return local, int(np.sum(global_pos < n))
+        return idx, n
 
     def batches_per_epoch(self) -> int:
-        n = len(self._epoch_indices(0))
+        n = len(self._epoch_indices(0)[0])
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        """Yield collated (optionally device-sharded) batches for one epoch."""
-        indices = self._epoch_indices(epoch)
+    def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator[dict]:
+        """Yield collated (optionally device-sharded) batches for one epoch.
+
+        ``start_batch`` skips the first N batches without decoding them —
+        used for exact mid-epoch resume (items are pure functions of
+        (seed, epoch, index), so the skipped prefix is identical to what the
+        interrupted run consumed)."""
+        indices, n_real = self._epoch_indices(epoch)
         n = len(indices)
         bs = self.batch_size
 
@@ -116,7 +132,9 @@ class Loader:
             chunk = indices[start : start + bs]
             if len(chunk) < bs and self.drop_last:
                 continue
-            batch_slices.append(chunk)
+            # non-duplicate prefix length of this chunk (see _epoch_indices)
+            batch_slices.append((chunk, max(0, min(len(chunk), n_real - start))))
+        batch_slices = batch_slices[start_batch:]
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
@@ -139,7 +157,7 @@ class Loader:
 
         def _produce_inner():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk in batch_slices:
+                for chunk, n_valid in batch_slices:
                     if stop.is_set():
                         break
                     items = list(
@@ -150,11 +168,10 @@ class Loader:
                             chunk,
                         )
                     )
-                    valid = len(items)
-                    if valid < bs and self.pad_last:
-                        items = items + [items[-1]] * (bs - valid)
+                    if len(items) < bs and self.pad_last:
+                        items = items + [items[-1]] * (bs - len(items))
                     batch = collate(items)
-                    batch["_valid"] = np.asarray(valid, np.int32)
+                    batch["_valid"] = np.asarray(n_valid, np.int32)
                     if self.sharding is not None:
                         import jax
 

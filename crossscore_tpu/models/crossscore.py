@@ -184,15 +184,20 @@ class CrossScoreNet(nn.Module):
         return results
 
 
-def trainable_mask(params: dict) -> dict:
+def trainable_mask(params: dict, pe_trainable: bool = False) -> dict:
     """Pytree mask: True for trainable leaves (decoder + head), False for the
-    frozen backbone and the fixed random PE (reference ``task/core.py:41-42,494``
-    freezes the backbone; ``config/model/model.yaml`` sets PE req_grad False)."""
+    frozen backbone (reference ``task/core.py:41-42,494``). The multi-view PE
+    follows ``model.pos_enc.multi_view.req_grad`` (default false in
+    ``config/model/model.yaml``; when true the reference trains it, since
+    AdamW takes all requires-grad params)."""
 
     def mark(path_prefix: str, tree):
         if isinstance(tree, dict):
             return {k: mark(f"{path_prefix}/{k}", v) for k, v in tree.items()}
-        trainable = not (path_prefix.startswith("/backbone") or path_prefix.startswith("/pos_enc"))
-        return trainable
+        if path_prefix.startswith("/backbone"):
+            return False
+        if path_prefix.startswith("/pos_enc"):
+            return pe_trainable
+        return True
 
     return mark("", params)

@@ -151,8 +151,105 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
         jax.lax.fori_loop(0, block_h, lambda hh, c: (one_slice(hh), c)[1], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "block_h"))
-def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 1):
+def _fwd_kernel_v2(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
+                   m_scr, acc_scr, *, c1: float, hd: int):
+    """Multi-KV-block online-softmax kernel, VPU-minimised (round 2).
+
+    Per KV block only THREE passes over the (bq, bk) score tile: the fused
+    scale+mask FMA, the row max, and exp2. The softmax row sums are not
+    tracked separately: V carries an appended ones column (lane ``hd``), so
+    the fp32 accumulator's lane ``hd`` IS the running row sum — the
+    ``acc * alpha + p@v_aug`` rescale updates o-numerator and l with one
+    (bq, 128) FMA. Final normalisation happens once on the output tile.
+    """
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    t = s * c1 + bias_ref[0]  # fused scale (log2-base) + padding mask
+
+    m_prev = m_scr[...]  # (bq, LANES) replicated
+    m_curr = jnp.max(t, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp2(m_prev - m_next)  # (bq, LANES)
+    p = jnp.exp2(t - m_next[:, :1]).astype(v_ref.dtype)
+    m_scr[...] = m_next
+
+    pv = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        acc = acc_scr[...]
+        l = acc[:, hd:hd + 1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc[:, :hd] * l_inv).astype(o_ref.dtype)
+        l_ref[0] = l.astype(l_ref.dtype)
+        m_ref[0] = (m_scr[...][:, :1] * (1.0 / LOG2E)).astype(m_ref.dtype)
+
+
+def _fwd_kernel_single_v2(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
+                          c1: float, block_h: int, hd: int, aug: bool,
+                          exp_bf16: bool):
+    """Single-KV-block kernel, VPU-minimised (the round-2 rewrite).
+
+    Differences vs ``_fwd_kernel_single`` (each removes a full pass over the
+    (bq, bk) score tile on the vector unit):
+    - the softmax scale and the padding mask are ONE fused multiply-add:
+      ``t = s * (sm_scale*log2e) + bias`` with a precomputed (1, bk) additive
+      bias row (0 valid / -huge padded) — replaces a scale pass plus an
+      iota+select mask pass;
+    - exp2 straight off ``t - m`` (optionally in bf16: ``exp_bf16``);
+    - with ``aug``, V carries an appended ones column (lane hd), so the PV
+      matmul's fp32 accumulator also yields the softmax row sums — the MXU
+      output tile is 128 lanes wide whether we use 64 or 128 of them, so the
+      row-sum comes for free and the VPU reduction pass disappears;
+    - the 1/l normalisation happens on the (bq, hd) output, not the score tile.
+    """
+
+    def one_slice(hh):
+        q = q_ref[hh]
+        k = k_ref[hh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        t = s * c1 + bias_ref[0]
+        m = jnp.max(t, axis=1, keepdims=True)
+        tm = t - m
+        if exp_bf16:
+            p = jnp.exp2(tm.astype(jnp.bfloat16)).astype(v_ref.dtype)
+        else:
+            p = jnp.exp2(tm).astype(v_ref.dtype)
+        oa = jax.lax.dot(p, v_ref[hh], preferred_element_type=jnp.float32)
+        if aug:
+            l = oa[:, hd:hd + 1]
+            o = oa[:, :hd]
+        else:
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+            o = oa
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[hh] = (o * l_inv).astype(o_ref.dtype)
+        l_ref[hh] = l.astype(l_ref.dtype)
+        m_ref[hh] = (m * (1.0 / LOG2E)).astype(m_ref.dtype)
+
+    if block_h <= 2:
+        for hh in range(block_h):
+            one_slice(hh)
+    else:
+        jax.lax.fori_loop(0, block_h, lambda hh, c: (one_slice(hh), c)[1], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "block_h", "variant"))
+def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 1,
+               variant: str = "v1"):
     """q: (B, H, Nq, hd); k, v: (B, H, Nk, hd) -> (o, l, m) with padding stripped."""
     b, h, nq, hd = q.shape
     nk = k.shape[2]
@@ -170,6 +267,76 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
     if not single_kv or bh % block_h:
         block_h = 1  # multi-slice cells only for the single-pass kernel
     grid = (bh // block_h, nq_p // block_q, nk_p // block_k)
+
+    if variant != "v1":
+        # Production (v2) path for BOTH single- and multi-KV-block shapes:
+        # fused scale+mask FMA with a precomputed bias row, ones-augmented V so
+        # the softmax row sums ride the PV matmul's fp32 accumulator, exp2
+        # softmax. See kernel docstrings; A/B numbers in PERFORMANCE.md.
+        # "v2_noaug" / "v2_bf16" exist for microbench A/Bs (tools/attn_microbench).
+        aug = not variant.endswith("noaug")
+        exp_bf16 = "bf16" in variant
+        v_lanes = hd
+        if aug:
+            v_lanes = _ceil_to(hd + 1, LANES)
+            vf = jnp.concatenate(
+                [
+                    vf,
+                    jnp.ones((bh, nk_p, 1), vf.dtype),
+                    jnp.zeros((bh, nk_p, v_lanes - hd - 1), vf.dtype),
+                ],
+                axis=-1,
+            )
+        bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF)
+        bias = bias.astype(jnp.float32).reshape(1, nk_p)
+        if single_kv:
+            kernel = functools.partial(
+                _fwd_kernel_single_v2, c1=sm_scale * LOG2E, block_h=block_h,
+                hd=hd, aug=aug, exp_bf16=exp_bf16,
+            )
+            scratch_shapes = []
+        else:
+            if not aug:
+                raise ValueError("multi-KV v2 kernel requires the augmented V")
+            kernel = functools.partial(_fwd_kernel_v2, c1=sm_scale * LOG2E, hd=hd)
+            scratch_shapes = [
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, v_lanes), jnp.float32),
+            ]
+        o, l, m = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_k), lambda bh_, qi, ki: (0, ki)),
+                pl.BlockSpec((block_h, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
+                pl.BlockSpec((block_h, block_k, hd), lambda bh_, qi, ki: (bh_, ki, 0)),
+                pl.BlockSpec((block_h, block_k, v_lanes), lambda bh_, qi, ki: (bh_, ki, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_h, block_q, hd), lambda bh_, qi, ki: (bh_, qi, 0)),
+                pl.BlockSpec((block_h, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
+                pl.BlockSpec((block_h, block_q, 1), lambda bh_, qi, ki: (bh_, qi, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, nq_p, hd), q.dtype),
+                jax.ShapeDtypeStruct((bh, nq_p, 1), jnp.float32),
+                jax.ShapeDtypeStruct((bh, nq_p, 1), jnp.float32),
+            ],
+            scratch_shapes=scratch_shapes,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * nq_p * nk_p * hd,
+                bytes_accessed=bh * (2 * nq_p + nk_p * (hd + v_lanes) // hd) * hd * 2,
+                transcendentals=bh * nq_p * nk_p,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(bias, qf, kf, vf)
+        o = o.reshape(b, h, nq_p, hd)[:, :, :nq]
+        l = l.reshape(b, h, nq_p)[:, :, :nq]
+        m = m.reshape(b, h, nq_p)[:, :, :nq]
+        return o, l, m
 
     if single_kv:
         kernel = functools.partial(
@@ -269,25 +436,29 @@ def _bwd_xla(residuals, do, *, block_k: int):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_cross_attention(q, k, v, block_q: int = 512, block_k: int = 1024,
-                          block_h: int = 1):
+                          block_h: int = 1, variant: str = "v2"):
     """Fused attention: softmax(q k^T / sqrt(hd)) v over the reference axis.
 
     q: (B, H, Nq, hd); k, v: (B, H, Nk, hd). Returns (B, H, Nq, hd).
     ``block_h`` packs multiple batch*head slices per grid cell (single-KV-pass
-    kernel only; silently 1 otherwise).
+    kernel only; silently 1 otherwise). ``variant`` selects the kernel
+    generation ("v2" = production, "v1" = round-1 fallback; see
+    PERFORMANCE.md for the measured difference).
     """
-    o, _, _ = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k, block_h=block_h)
+    o, _, _ = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
+                         block_h=block_h, variant=variant)
     return o
 
 
-def _fca_fwd(q, k, v, block_q, block_k, block_h):
-    o, l, m = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k, block_h=block_h)
+def _fca_fwd(q, k, v, block_q, block_k, block_h, variant):
+    o, l, m = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
+                         block_h=block_h, variant=variant)
     return o, (q, k, v, o, l, m)
 
 
-def _fca_bwd(block_q, block_k, block_h, residuals, do):
+def _fca_bwd(block_q, block_k, block_h, variant, residuals, do):
     return _bwd_xla(residuals, do, block_k=block_k)
 
 

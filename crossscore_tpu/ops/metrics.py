@@ -36,3 +36,22 @@ def correlation(a, b):
     y = y - y.mean()
     denom = jnp.sqrt(jnp.sum(x * x) * jnp.sum(y * y))
     return jnp.where(denom == 0, 0.0, jnp.sum(x * y) / denom)
+
+
+def masked_correlation(a, b, w):
+    """Pearson correlation over elements where ``w`` (broadcastable to ``a``)
+    is non-zero. With a uniform weight this equals :func:`correlation`; used
+    to exclude loader-padded duplicate items from eval metrics (the reference
+    evaluates every item exactly once via DistributedSampler/drop-none,
+    reference ``task/train.py:111``)."""
+    x = a.astype(jnp.float32)
+    y = b.astype(jnp.float32)
+    w = jnp.broadcast_to(w, x.shape).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mx = jnp.sum(x * w) / n
+    my = jnp.sum(y * w) / n
+    xc = (x - mx) * w
+    yc = (y - my) * w
+    # w is 0/1 so w^2 == w; cross terms carry a single w factor
+    denom = jnp.sqrt(jnp.sum(xc * xc) * jnp.sum(yc * yc))
+    return jnp.where(denom == 0, 0.0, jnp.sum(xc * (y - my)) / denom)

@@ -146,6 +146,30 @@ def load_model_params(cfg: Config, model, example_batch) -> dict:
     return restored
 
 
+def all_process_weighted_mean(series: list, weights: list) -> list:
+    """Weighted means of one or more metric series, all-reduced across hosts.
+
+    Equivalent of the reference's ``self.log(..., sync_dist=True)`` epoch
+    reduction (reference ``task/core.py:449``): each process contributes
+    (sum(w*x), sum(w)) and the global mean is computed from the summed
+    numerators/denominators, so the result covers every host's data. On a
+    single process this degenerates to the local weighted mean.
+    """
+    import numpy as np
+
+    w = np.asarray(weights, np.float64)
+    sums = np.asarray([float(np.sum(w * np.asarray(s, np.float64))) for s in series]
+                      + [float(w.sum())])
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        sums = np.asarray(multihost_utils.process_allgather(sums)).sum(axis=0)
+    denom = max(sums[-1], 1e-12)
+    return [float(s / denom) for s in sums[:-1]]
+
+
 class JsonlLogger:
     """Scalar metric logging to <run_dir>/metrics.jsonl (+ optional wandb)."""
 
@@ -168,6 +192,29 @@ class JsonlLogger:
         self.f.flush()
         if self.wandb is not None:
             self.wandb.log(metrics, step=step)
+
+    def log_histogram(self, name: str, values, step: int):
+        """Real ``wandb.Histogram`` channel (reference ``task/core.py:351-362``
+        logs histograms of scores and L1 diffs); jsonl gets the 10-bin counts."""
+        import numpy as np
+
+        counts, edges = np.histogram(np.asarray(values).reshape(-1), bins=10)
+        self.log({f"{name}_{i}": float(c) for i, c in enumerate(counts)}, step)
+        if self.wandb is not None:
+            import wandb
+
+            self.wandb.log(
+                {name: wandb.Histogram(np_histogram=(counts, edges))}, step=step
+            )
+
+    def log_figure(self, name: str, fig, step: int):
+        """wandb figure-image channel (reference ``task/core.py:325-329`` logs
+        matplotlib figures as wandb.Image); no-op without wandb — figures are
+        always also written to disk by the caller."""
+        if self.wandb is not None:
+            import wandb
+
+            self.wandb.log({name: wandb.Image(fig)}, step=step)
 
     def close(self):
         self.f.close()

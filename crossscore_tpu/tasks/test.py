@@ -94,6 +94,7 @@ def test(cfg) -> Path:
     max_batches = resolve_limit(cfg.trainer.limit_test_batches, loader.batches_per_epoch())
 
     rows = []
+    row_weights = []  # valid (non-padded) item count per batch
 
     def process(batch_idx, batch, pred_dev, metrics_dev):
         outputs = {"score_map_ref_cross": np.asarray(pred_dev, dtype=np.float32)}
@@ -106,6 +107,7 @@ def test(cfg) -> Path:
                 "test/psnr_cross": float(metrics_dev["psnr_cross"]),
             }
         )
+        row_weights.append(int(batch.get("_valid", len(batch["query/img"]))))
         summariser.update(batch_input=batch, batch_output=outputs)
         if vis_every > 0 and batch_idx % vis_every == 0:
             import matplotlib.pyplot as plt
@@ -121,7 +123,9 @@ def test(cfg) -> Path:
     for batch_idx, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and batch_idx >= max_batches:
             break
-        arrays = {k: v for k, v in batch.items() if k not in ("item_paths", "_valid")}
+        # _valid rides into the jitted step: metrics are masked so padded
+        # duplicate items in the final batch don't bias them (VERDICT r1)
+        arrays = {k: v for k, v in batch.items() if k != "item_paths"}
         pred_dev, metrics_dev = eval_step(params, arrays)
         if pending is not None:
             process(*pending)
@@ -129,9 +133,16 @@ def test(cfg) -> Path:
     if pending is not None:
         process(*pending)
 
-    # CSVLogger-equivalent epoch metrics
+    # CSVLogger-equivalent epoch metrics; the mean row weights each batch by
+    # its valid item count so every item counts exactly once
     if rows:
-        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0] if k != "batch_idx"}
+        w = np.asarray(row_weights, np.float64)
+        w = w / max(w.sum(), 1.0)
+        agg = {
+            k: float(np.sum(w * np.asarray([r[k] for r in rows])))
+            for k in rows[0]
+            if k != "batch_idx"
+        }
         with open(out_dir / "metrics.csv", "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
             w.writeheader()

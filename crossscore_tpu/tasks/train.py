@@ -155,14 +155,22 @@ def train(cfg) -> Path:
         every_n_train_steps=cfg.trainer.checkpointing.every_n_train_steps,
         every_n_epochs=cfg.trainer.checkpointing.every_n_epochs,
     )
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     if cfg.trainer.ckpt_path_to_load is not None:
         from crossscore_tpu.io.checkpoint import CheckpointManager as CM
 
         resume_mgr = CM(cfg.trainer.ckpt_path_to_load)
         state = resume_mgr.restore(None, like=state)
-        start_epoch = int(state.step) // actual_steps_per_epoch
-        print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+        # exact loop cursor from the train state (not derived from step
+        # counts, which drifts when limits/dataset size change between runs)
+        start_epoch = int(state.epoch)
+        start_batch = int(state.batch_in_epoch)
+        if start_batch >= actual_steps_per_epoch:
+            start_epoch, start_batch = start_epoch + 1, 0
+        print(
+            f"resumed from step {int(state.step)} "
+            f"(epoch {start_epoch}, batch {start_batch})"
+        )
 
     train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model))
@@ -177,14 +185,17 @@ def train(cfg) -> Path:
     (run_dir / "vis").mkdir(parents=True, exist_ok=True)
 
     def run_validation(epoch: int, step: int, max_batches: int):
-        losses, corrs = [], []
+        losses, corrs, weights = [], [], []
         for vb_idx, vbatch in enumerate(loader_val.epoch(epoch)):
             if vb_idx >= max_batches:
                 break
-            varrays = {k: v for k, v in vbatch.items() if k not in ("item_paths", "_valid")}
+            # _valid rides into the jitted step: padded duplicate items in the
+            # final batch are masked out of the metrics
+            varrays = {k: v for k, v in vbatch.items() if k != "item_paths"}
             pred, metrics = eval_step(state.params, varrays)
             losses.append(float(metrics["loss"]))
             corrs.append(float(metrics["correlation_cross"]))
+            weights.append(float(vbatch.get("_valid", len(vbatch["query/img"]))))
             summariser.update(vbatch, {"score_map_ref_cross": np.asarray(pred, np.float32)})
             if proc0 and vb_idx < cfg.logger.cache_size.validation.n_fig:
                 import matplotlib.pyplot as plt
@@ -192,13 +203,20 @@ def train(cfg) -> Path:
                 fig = visualiser.vis(vbatch, {"score_map_ref_cross": np.asarray(pred, np.float32)})
                 fig.savefig(run_dir / "vis" / f"val_e{epoch:03}_B{vb_idx:02}.png")
                 plt.close(fig)
+        if losses:
+            # weighted by valid items per batch, then all-reduced over hosts —
+            # the equivalent of the reference's self.log(sync_dist=True)
+            # (task/core.py:449): the logged mean covers ALL data, not 1/N.
+            # The reduction is collective: EVERY process must reach it.
+            from crossscore_tpu.tasks.common import all_process_weighted_mean
+
+            loss, corr = all_process_weighted_mean([losses, corrs], weights)
         if losses and logger is not None:
-            loss = float(np.mean(losses))
             logger.log(
                 {
                     "validation/loss": loss,
                     "validation/loss_cross": loss,
-                    "validation/correlation_cross": float(np.mean(corrs)),
+                    "validation/correlation_cross": corr,
                     "validation/psnr_cross": float(-10 * np.log10(loss**2)) if loss > 0 else 99.0,
                 },
                 step,
@@ -219,8 +237,20 @@ def train(cfg) -> Path:
     if cfg.trainer.num_sanity_val_steps > 0:
         run_validation(0, global_step, cfg.trainer.num_sanity_val_steps)
 
+    pending_losses: list = []  # device scalars; pulled to host at log cadence
+
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
-        for batch_idx, batch in enumerate(loader_train.epoch(0 if overfit else epoch)):
+        if int(state.epoch) != epoch:
+            # new epoch boundary: reset the on-device loop cursor
+            state = state.replace(
+                epoch=jnp.asarray(epoch, jnp.int32),
+                batch_in_epoch=jnp.asarray(0, jnp.int32),
+            )
+        epoch_start_batch = start_batch if epoch == start_epoch else 0
+        for batch_idx, batch in enumerate(
+            loader_train.epoch(0 if overfit else epoch, start_batch=epoch_start_batch),
+            start=epoch_start_batch,
+        ):
             if batch_idx >= limit_train:
                 break
             batch.pop("_valid", None)
@@ -228,15 +258,25 @@ def train(cfg) -> Path:
             if profile_window and global_step == profile_window[0]:
                 jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, batch)
+            pred_dev = metrics.pop("pred")
             global_step += 1
             if profile_window and global_step == profile_window[1]:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}")
 
+            # cache the loss EVERY step (reference MetricLoggerScalar
+            # accumulates every training batch, task/core.py:330-338) — but
+            # keep it as a device scalar; host transfer happens in one batched
+            # pull at logging cadence, so the hot loop never syncs
+            if proc0:
+                pending_losses.append(metrics["loss"])
+
             if proc0 and global_step % cfg.logger.vis_scalar_every_n_train_steps == 0:
+                for x in np.asarray(jnp.stack(pending_losses)):
+                    train_cache["loss"].update(float(x))
+                pending_losses.clear()
                 m = {k: float(v) for k, v in metrics.items()}
-                train_cache["loss"].update(m["loss"])
                 logger.log(
                     {
                         "train/loss": train_cache["loss"].compute(),
@@ -251,29 +291,25 @@ def train(cfg) -> Path:
                     global_step,
                 )
 
-            # train-batch figure + score/L1-diff histograms at their cadences
-            # (reference task/core.py:325-362)
+            # train-batch figure + score/L1-diff histograms at their cadences,
+            # reusing the training forward's prediction (reference
+            # task/core.py:312-362 reuses training_step outputs the same way)
             need_fig = proc0 and global_step % cfg.logger.vis_imgs_every_n_train_steps == 0
             need_hist = proc0 and global_step % cfg.logger.vis_histogram_every_n_train_steps == 0
             if need_fig or need_hist:
-                pred, _ = eval_step(state.params, batch)
-                pred = np.asarray(pred, np.float32)
+                pred = np.asarray(pred_dev, np.float32)
                 if need_fig:
                     import matplotlib.pyplot as plt
 
                     fig = visualiser.vis(batch, {"score_map_ref_cross": pred})
                     fig.savefig(run_dir / "vis" / f"train_s{global_step:06}.png")
+                    logger.log_figure("train/batch_vis", fig, global_step)
                     plt.close(fig)
                 if need_hist:
                     gt = np.asarray(batch["query/score_map"], np.float32)
-                    score_hist, edges = np.histogram(pred, bins=10)
-                    l1_hist, _ = np.histogram(np.abs(pred - gt), bins=10)
-                    logger.log(
-                        {
-                            **{f"train/score_hist_{i}": float(v) for i, v in enumerate(score_hist)},
-                            **{f"train/l1_diff_hist_{i}": float(v) for i, v in enumerate(l1_hist)},
-                        },
-                        global_step,
+                    logger.log_histogram("train/score_hist", pred, global_step)
+                    logger.log_histogram(
+                        "train/l1_diff_hist", np.abs(pred - gt), global_step
                     )
 
             if proc0 and ckpt_mgr.should_save(global_step):

@@ -63,7 +63,8 @@ def make_optimizer(
     # torch.optim.AdamW defaults (the reference passes only lr,
     # task/core.py:495-498): betas (0.9, 0.999), eps 1e-8, weight_decay 1e-2
     weight_decay = float(opt_cfg.get("weight_decay", 1e-2))
-    mask = trainable_mask(params)
+    pe_trainable = bool(cfg.model.pos_enc.multi_view.get("req_grad", False))
+    mask = trainable_mask(params, pe_trainable=pe_trainable)
     labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
     tx = optax.multi_transform(
         {

@@ -127,6 +127,46 @@ class TestTrainTask:
         steps = [r["step"] for r in rows2 if "train/loss" in r]
         assert steps and min(steps) > min(r["step"] for r in rows if "train/loss" in r)
 
+    def test_mid_epoch_resume_identical_trajectory(self, ws):
+        """Kill training mid-epoch, resume from the checkpoint: the loss
+        trajectory must be identical to an uninterrupted run (the loop cursor
+        — epoch + batch-in-epoch — is part of the train state, so resume
+        re-enters the SAME epoch at the SAME batch; reference resumes
+        Lightning's exact loop state)."""
+        from crossscore_tpu.tasks.train import main
+
+        overrides = SMALL_OVERRIDES + [
+            "data.dataset.path=[datadir]",
+            "data.loader.train.batch_size=2",
+            "data.loader.validation.batch_size=2",
+            "data.loader.train.num_workers=1",
+            "data.loader.validation.num_workers=1",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=-1",
+            "trainer.num_sanity_val_steps=0",
+            "trainer.limit_train_batches=3",
+            "trainer.limit_val_batches=1",
+            "trainer.max_epochs=2",
+            "logger.vis_scalar_every_n_train_steps=1",
+        ]
+
+        def losses_by_step(run_dir):
+            rows = [
+                json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()
+            ]
+            return {r["step"]: r["train/loss_cross"] for r in rows if "train/loss_cross" in r}
+
+        full = losses_by_step(main(overrides + ["alias=full"]))
+        # interrupted at step 4 = epoch 1, batch 1 (3 steps per epoch)
+        part = main(overrides + ["trainer.max_steps=4", "alias=part"])
+        resumed = losses_by_step(
+            main(overrides + [f"trainer.ckpt_path_to_load={part / 'ckpt'}", "alias=res"])
+        )
+        assert set(full) == {1, 2, 3, 4, 5, 6}
+        assert set(resumed) == {5, 6}, "resume must re-enter mid-epoch, not restart it"
+        for step in resumed:
+            assert resumed[step] == pytest.approx(full[step], rel=1e-5), step
+
 
 class TestPredictEdgeCases:
     def test_k_exceeds_available_refs_pads_with_empty(self, ws):
