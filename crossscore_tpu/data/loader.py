@@ -111,10 +111,26 @@ class Loader:
         return idx, n
 
     def batches_per_epoch(self) -> int:
-        n = len(self._epoch_indices(0)[0])
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return len(self._plan(0))
+
+    def _plan(self, epoch: int) -> list:
+        """Batch plan: list of (index_chunk, n_valid, extra) — ``extra`` is an
+        opaque dict handed to :meth:`_finalize` (used by ShapeBucketedLoader)."""
+        indices, n_real = self._epoch_indices(epoch)
+        n = len(indices)
+        bs = self.batch_size
+        plan = []
+        for start in range(0, n, bs):
+            chunk = indices[start : start + bs]
+            if len(chunk) < bs and self.drop_last:
+                continue
+            # non-duplicate prefix length of this chunk (see _epoch_indices)
+            plan.append((chunk, max(0, min(len(chunk), n_real - start)), None))
+        return plan
+
+    def _finalize(self, batch: dict, extra) -> dict:
+        """Post-collate hook (subclasses pad to shape buckets here)."""
+        return batch
 
     def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator[dict]:
         """Yield collated (optionally device-sharded) batches for one epoch.
@@ -123,18 +139,8 @@ class Loader:
         used for exact mid-epoch resume (items are pure functions of
         (seed, epoch, index), so the skipped prefix is identical to what the
         interrupted run consumed)."""
-        indices, n_real = self._epoch_indices(epoch)
-        n = len(indices)
         bs = self.batch_size
-
-        batch_slices = []
-        for start in range(0, n, bs):
-            chunk = indices[start : start + bs]
-            if len(chunk) < bs and self.drop_last:
-                continue
-            # non-duplicate prefix length of this chunk (see _epoch_indices)
-            batch_slices.append((chunk, max(0, min(len(chunk), n_real - start))))
-        batch_slices = batch_slices[start_batch:]
+        batch_slices = self._plan(epoch)[start_batch:]
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
@@ -157,7 +163,7 @@ class Loader:
 
         def _produce_inner():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk, n_valid in batch_slices:
+                for chunk, n_valid, extra in batch_slices:
                     if stop.is_set():
                         break
                     items = list(
@@ -170,7 +176,7 @@ class Loader:
                     )
                     if len(items) < bs and self.pad_last:
                         items = items + [items[-1]] * (bs - len(items))
-                    batch = collate(items)
+                    batch = self._finalize(collate(items), extra)
                     batch["_valid"] = np.asarray(n_valid, np.int32)
                     if self.sharding is not None:
                         import jax

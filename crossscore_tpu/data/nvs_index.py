@@ -116,9 +116,19 @@ class NvsDataset:
         num_gaussians_iters: int = -1,
         zero_reference: bool = False,
         return_item_paths: bool = False,
+        record_dir: Optional[str] = None,
     ):
         if data_split not in ("train", "test", "val", "val_small", "test_small"):
             raise ValueError(f"Unknown data_split {data_split}")
+        # optional record-shard store for at-scale ingestion (sequential IO
+        # over a few big files instead of per-PNG open/seek; data/records.py).
+        # Keys are paths relative to the dataset root.
+        self._record_root = Path(dataset_path)
+        self._store = None
+        if record_dir:
+            from crossscore_tpu.data.records import RecordStore
+
+            self._store = RecordStore(record_dir)
         self.neighbour_config = dict(neighbour_config)
         self.zero_reference = zero_reference
         self.return_item_paths = return_item_paths
@@ -238,23 +248,41 @@ class NvsDataset:
     def __len__(self) -> int:
         return len(self.neighbour_selector)
 
+    def _read_image(self, path: str) -> np.ndarray:
+        if self._store is not None:
+            key = Path(path).resolve().relative_to(self._record_root.resolve()).as_posix()
+            if key in self._store:
+                from crossscore_tpu.io.images import image_read_bytes
+
+                return image_read_bytes(self._store.read(key))
+        return image_read(path)
+
+    def _read_metric_map(self, path: str, vrange) -> np.ndarray:
+        if self._store is not None:
+            key = Path(path).resolve().relative_to(self._record_root.resolve()).as_posix()
+            if key in self._store:
+                from crossscore_tpu.io.images import metric_map_read_bytes
+
+                return metric_map_read_bytes(self._store.read(key), vrange)
+        return metric_map_read(path, vrange=vrange)
+
     def load_content(self, item_paths: dict) -> dict:
         mc = self.metric_config
-        query = image_read(item_paths["query/img"])  # (H, W, 3)
+        query = self._read_image(item_paths["query/img"])  # (H, W, 3)
 
         sm_path = item_paths["query/score_map"]
         if mc["type"] == "ssim":
             if sm_path == EMPTY_IMAGE:
                 score_map = np.zeros(query.shape[:2], np.float32)
             else:
-                score_map = metric_map_read(sm_path, vrange=[-1, 1])
+                score_map = self._read_metric_map(sm_path, vrange=[-1, 1])
                 if mc["vrange"] == [0, 1]:
                     score_map = np.clip(score_map, 0, 1)
         elif mc["type"] in ("mae", "mse"):
             if sm_path == EMPTY_IMAGE:
                 score_map = np.full(query.shape[:2], np.nan, np.float32)
             else:
-                score_map = metric_map_read(sm_path, vrange=[0, 1])
+                score_map = self._read_metric_map(sm_path, vrange=[0, 1])
                 if mc["type"] == "mse":
                     score_map = np.square(score_map)
         else:  # None: SimpleReference — no GT maps
@@ -265,11 +293,37 @@ class NvsDataset:
             if p == EMPTY_IMAGE:
                 refs.append(np.zeros_like(query))
             else:
-                refs.append(image_read(p))
+                refs.append(self._read_image(p))
         ref_imgs = np.stack(refs) if refs else None
         if ref_imgs is not None and self.zero_reference:
             ref_imgs = np.zeros_like(ref_imgs)
         return {"query/img": query, "query/score_map": score_map, "reference/cross/imgs": ref_imgs}
+
+    def resized_hw(self, h: int, w: int) -> tuple[int, int]:
+        """Post-pipeline (H, W) for an original (h, w) image — the same
+        rounding as :meth:`_resize` + the optional integer-patch crop."""
+        s = self.resize_short_side
+        if s > 0 and min(h, w) != s:
+            if h <= w:
+                h, w = s, max(1, round(w * s / h))
+            else:
+                h, w = max(1, round(h * s / w)), s
+        if self.crop_mode == "integer_patches":
+            h, w = h - h % 14, w - w % 14
+        return h, w
+
+    def get_item_shape(self, idx: int) -> tuple[int, int]:
+        """Post-pipeline query (H, W) for item ``idx`` WITHOUT decoding —
+        reads only the PNG header. Used by the shape-bucketed loader to group
+        items before any pixel IO."""
+        if self.query_crop is not None:
+            return tuple(self.query_crop.output_size)
+        qpath = self.neighbour_selector[idx]["query/img"]
+        from PIL import Image
+
+        with Image.open(qpath) as im:
+            w, h = im.size
+        return self.resized_hw(h, w)
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         """Resize so the SHORT side == resize_short_side (torchvision semantics)."""
@@ -293,8 +347,9 @@ class NvsDataset:
         from crossscore_tpu.data import fastimage
 
         item_paths = self.neighbour_selector.select(idx, rng)
-        # the native fused path decodes PNG only; JPEG etc. fall back to PIL
-        if fastimage.available() and self._all_png(item_paths):
+        # the native fused path decodes PNG only and reads from the
+        # filesystem; JPEG etc. (and record-store reads) fall back to PIL
+        if fastimage.available() and self._all_png(item_paths) and self._store is None:
             return self._get_item_fused(item_paths, rng)
         content = self.load_content(item_paths)
 
@@ -444,6 +499,7 @@ def get_dataset(cfg, data_split: str, return_item_paths: bool = False, crop_mode
             num_gaussians_iters=cfg.data.dataset.num_gaussians_iters,
             zero_reference=cfg.data.dataset.zero_reference,
             return_item_paths=return_item_paths,
+            record_dir=cfg.data.dataset.get("record_dir"),
         )
         for p in paths
     ]

@@ -35,6 +35,7 @@ class SimpleReference(NvsDataset):
         self.resize_short_side = resize_short_side
         self.crop_mode = crop_mode
         self.metric_config = self._build_metric_config(None, None, None)
+        self._store = None  # record-shard ingestion is an NvsDataset feature
 
         if crop_mode == "dataset_default":
             self.query_crop = CropperSame((crop_size, crop_size), deterministic_crop)

@@ -38,12 +38,17 @@ def generate(
     res_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
 
+    # hw: one (H, W) for all scenes, or a list cycled per scene (mixed-aspect
+    # datasets for shape-bucketing tests)
+    hw_list = [tuple(hw)] if isinstance(hw[0], int) else [tuple(x) for x in hw]
+
     split_json: dict[str, list[str]] = {}
     scene_id = 0
     for split, count in scenes_per_split.items():
         split_json[split] = []
         for _ in range(count):
             scene = f"s{scene_id:05d}"
+            hw = hw_list[scene_id % len(hw_list)]
             scene_id += 1
             split_json[split].append(scene)
             for gs_split, n_imgs in (("train", n_train_imgs), ("test", n_test_imgs)):

@@ -41,6 +41,31 @@ def image_read(path: str | Path) -> np.ndarray:
     return f32(img)
 
 
+def image_read_bytes(data: bytes) -> np.ndarray:
+    """Encoded image bytes (e.g. from a RecordStore) -> float32 (H, W, 3)."""
+    import io as _io
+
+    img = np.array(Image.open(_io.BytesIO(data)))
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 4:
+        img = img[:, :, :3]
+    return f32(img)
+
+
+def metric_map_read_bytes(data: bytes, vrange: list | tuple) -> np.ndarray:
+    """Encoded 16-bit PNG bytes -> float32 (H, W) in the requested range."""
+    import io as _io
+
+    m = np.array(Image.open(_io.BytesIO(data))).astype(np.float32)
+    vrange = list(vrange)
+    if vrange == [0, 1]:
+        return m / 65535.0
+    if vrange == [-1, 1]:
+        return m / 32767.0 - 1.0
+    raise ValueError("Invalid range for metric map reading. Must be [0,1] or [-1,1]")
+
+
 def image_write(path: str | Path, img: np.ndarray) -> None:
     """float32 (H, W, 3) in [0, 1] -> PNG."""
     Image.fromarray(u8(np.clip(img, 0.0, 1.0))).save(path)

@@ -52,6 +52,7 @@ class CrossScoreConfig:
     compute_dtype: Any = jnp.float32
     attention_impl: str = "xla"  # xla | pallas
     remat_backbone: bool = False
+    backbone_quant: str = "none"  # none | int8 (W8A8 on the int8 MXU path)
 
     @staticmethod
     def from_config(cfg) -> "CrossScoreConfig":
@@ -79,6 +80,7 @@ class CrossScoreConfig:
             compute_dtype=jnp.dtype(m.tpu.compute_dtype),
             attention_impl=impl,
             remat_backbone=m.tpu.remat_backbone,
+            backbone_quant=str(m.tpu.get("backbone_quant", "none")),
         )
 
 
@@ -93,11 +95,20 @@ class CrossScoreNet(nn.Module):
         need_attn_weights: bool = False,
         need_attn_weights_head_id: int = 0,
         norm_img: bool = False,
+        valid_hw=None,
     ) -> dict:
         """
         :param query_img: (B, H, W, 3) ImageNet-normalised (or [0,1] raw with
                           ``norm_img=True``, reference task/core.py:76-81)
         :param ref_imgs:  (B, K, H, W, 3) or None
+        :param valid_hw: traced (h_valid, w_valid) for shape-bucketed
+            inference — the images are bucket-padded right/bottom to the
+            static (H, W); attention masks + valid-grid positional embeddings
+            make the valid region of the output EXACTLY equal an unpadded run
+            at (h_valid, w_valid). One compiled graph serves every shape in
+            the bucket (the reference recompiles per aspect ratio,
+            ``task/predict.py:69-93``). The returned score map stays
+            bucket-sized; callers crop host-side.
         :return: dict with ``score_map_ref_cross`` (B, H, W) and optionally
                  ``attn_weights_map_ref_cross`` (B, gh, gw, K, gh, gw)
         """
@@ -128,6 +139,17 @@ class CrossScoreNet(nn.Module):
             all_imgs = jnp.concatenate([all_imgs, ref_imgs], axis=1)
         all_imgs = all_imgs.reshape(b * (1 + k_ref), hgt, wdt, 3)
 
+        valid_grid = None
+        tok_bias = None
+        if valid_hw is not None:
+            gh_v = valid_hw[0] // p
+            gw_v = valid_hw[1] // p
+            valid_grid = (gh_v, gw_v)
+            rr = jnp.arange(gh)[:, None] < gh_v
+            cc = jnp.arange(gw)[None, :] < gw_v
+            # -1e30 not -inf/-0.7*fmax: kernels scale biases by log2(e)
+            tok_bias = jnp.where((rr & cc).reshape(-1), 0.0, -1e30).astype(jnp.float32)
+
         # cp:<axis> is decoder-cross-attention-only; the backbone always runs
         # local attention (its views are whole per-chip under view parallelism)
         backbone_impl = "pallas" if c.attention_impl.startswith("cp:") else c.attention_impl
@@ -136,19 +158,24 @@ class CrossScoreNet(nn.Module):
             dtype=dt,
             remat=c.remat_backbone,
             attention_impl=backbone_impl,
+            quant=c.backbone_quant,
             name="backbone",
-        )(all_imgs)
+        )(all_imgs, valid_grid)
         tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone
         tokens = tokens.reshape(b, 1 + k_ref, n_patch, d)
 
         pos_enc = MultiViewPositionalEmbedding(c.pe_h, c.pe_w, d, dtype=dt, name="pos_enc")
 
-        feat_query = pos_enc(tokens[:, 0], 1, gh, gw)
+        feat_query = pos_enc(tokens[:, 0], 1, gh, gw, valid_grid)
 
         results: dict = {}
         if c.do_reference_cross and ref_imgs is not None:
             feat_ref = tokens[:, 1:].reshape(b, k_ref * n_patch, d)
-            feat_ref = pos_enc(feat_ref, k_ref, gh, gw)
+            feat_ref = pos_enc(feat_ref, k_ref, gh, gw, valid_grid)
+
+            cross_bias = None
+            if tok_bias is not None:
+                cross_bias = jnp.tile(tok_bias, k_ref)  # same mask per view
 
             decoded, mha_weights = CrossReferenceDecoder(
                 d_model=d,
@@ -165,6 +192,8 @@ class CrossScoreNet(nn.Module):
                 feat_ref,
                 need_weights=need_attn_weights,
                 need_weights_head_id=need_attn_weights_head_id,
+                self_bias=tok_bias,
+                cross_bias=cross_bias,
             )
 
             # --- head: Linear -> LeakyReLU -> Linear -> regression activation ---

@@ -45,6 +45,7 @@ class TorchStyleMHA(nn.Module):
         key: jnp.ndarray,
         value: jnp.ndarray,
         need_weights: bool = False,
+        kv_bias=None,
     ):
         b, nq, _ = query.shape
         nk = key.shape[1]
@@ -61,7 +62,17 @@ class TorchStyleMHA(nn.Module):
 
         probs = None
         if need_weights:
-            out, probs = dense_attention(q, k, v, return_probs=True)
+            out, probs = dense_attention(q, k, v, kv_bias=kv_bias, return_probs=True)
+        elif kv_bias is not None:
+            # shape-bucketed inference: padded tokens masked via additive bias
+            if self.attention_impl == "pallas":
+                from crossscore_tpu.ops.flash_attention import (
+                    flash_cross_attention_masked, pick_blocks,
+                )
+
+                out = flash_cross_attention_masked(q, k, v, kv_bias, *pick_blocks(nq, nk))
+            else:
+                out = dense_attention(q, k, v, kv_bias=kv_bias)
         elif self.attention_impl.startswith("cp:"):
             # context parallel: k/v are the LOCAL shard of the reference axis;
             # exact global softmax via pmax/psum over the named mesh axis
@@ -75,6 +86,12 @@ class TorchStyleMHA(nn.Module):
             from crossscore_tpu.ops.flash_attention import flash_cross_attention, pick_blocks
 
             out = flash_cross_attention(q, k, v, *pick_blocks(nq, nk))
+        elif self.attention_impl.startswith("tp:"):
+            # tensor parallelism: heads sharded over the mesh axis, the flash
+            # kernel shard_map'd per device (GSPMD can't partition pallas_call)
+            from crossscore_tpu.ops.flash_attention import tp_flash_cross_attention
+
+            out = tp_flash_cross_attention(q, k, v, self.attention_impl[3:])
         else:
             out = dense_attention(q, k, v)
 
@@ -94,7 +111,8 @@ class DecoderLayer(nn.Module):
     layer_norm_eps: float = 1e-5  # torch default
 
     @nn.compact
-    def __call__(self, x, memory, need_weights: bool = False):
+    def __call__(self, x, memory, need_weights: bool = False,
+                 self_bias=None, cross_bias=None):
         mha_weights = None
 
         # cp:<axis> only applies to the cross-attention (the reference-token
@@ -104,13 +122,13 @@ class DecoderLayer(nn.Module):
         if self.do_self_attn:
             sa_out, _ = TorchStyleMHA(
                 self.d_model, self.num_heads, self.dtype, local_impl, name="self_attn"
-            )(x, x, x, need_weights=False)
+            )(x, x, x, need_weights=False, kv_bias=self_bias)
             x = x + sa_out if self.do_short_cut else sa_out
             x = LayerNorm(self.layer_norm_eps, name="norm1")(x)
 
         mha_out, mha_weights = TorchStyleMHA(
             self.d_model, self.num_heads, self.dtype, self.attention_impl, name="cross_attn"
-        )(x, memory, memory, need_weights=need_weights)
+        )(x, memory, memory, need_weights=need_weights, kv_bias=cross_bias)
         x = x + mha_out if self.do_short_cut else mha_out
         x = LayerNorm(self.layer_norm_eps, name="norm2")(x)
 
@@ -140,6 +158,8 @@ class CrossReferenceDecoder(nn.Module):
         memory: jnp.ndarray,
         need_weights: bool = False,
         need_weights_head_id: int = 0,
+        self_bias=None,
+        cross_bias=None,
     ):
         x = tgt
         mha_weights: Optional[jnp.ndarray] = None
@@ -153,7 +173,8 @@ class CrossReferenceDecoder(nn.Module):
                 self.dtype,
                 self.attention_impl,
                 name=f"layer_{i}",
-            )(x, memory, need_weights=need_weights)
+            )(x, memory, need_weights=need_weights,
+              self_bias=self_bias, cross_bias=cross_bias)
             if w is not None:
                 mha_weights = w[:, need_weights_head_id]  # (B, Nq, Nk), last layer wins
         return x, mha_weights

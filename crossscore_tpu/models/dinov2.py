@@ -79,58 +79,100 @@ class ViTAttention(nn.Module):
     """Multi-head self-attention with a fused qkv projection.
 
     ``attention_impl="pallas"`` routes the softmax(QK^T)V core through the
-    fused flash kernel (1.7x faster than the dense XLA path at 1370 tokens /
-    head_dim 64 on v5e, and O(N) memory instead of O(N^2))."""
+    fused flash kernel (faster than the dense XLA path at 1370 tokens /
+    head_dim 64 on v5e, and O(N) memory instead of O(N^2)).
+    ``quant="int8"`` puts the projections on the int8 MXU path (frozen
+    backbone only, see ops/quant.py)."""
 
     cfg: ViTConfig
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, kv_bias=None):
+        from crossscore_tpu.ops.quant import make_dense
+
         d = self.cfg.hidden_size
         h = self.cfg.num_heads
         hd = d // h
         b, n, _ = x.shape
 
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        from crossscore_tpu.ops.flash_attention import pick_qkv_hpack
 
-        q = q.transpose(0, 2, 1, 3)  # (B, H, N, hd)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        if self.attention_impl == "pallas":
-            from crossscore_tpu.ops.flash_attention import flash_cross_attention, pick_blocks
+        qkv = make_dense(self.quant, 3 * d, self.dtype, "qkv")(x)
+        hpack = pick_qkv_hpack(h, hd)
+        if self.attention_impl == "pallas" and (hpack * hd) % 128 == 0:
+            # layout-native kernel: consumes the fused projection output and
+            # writes (B, N, D) directly — no head transposes/pads touch HBM.
+            # (Mosaic needs 128-lane blocks; tiny presets fall through below.)
+            from crossscore_tpu.ops.flash_attention import (
+                flash_qkv_self_attention, flash_qkv_self_attention_masked,
+            )
 
-            out = flash_cross_attention(q, k, v, *pick_blocks(n, n))
+            if kv_bias is None:
+                out = flash_qkv_self_attention(qkv, h, 0, hpack)
+            else:
+                out = flash_qkv_self_attention_masked(qkv, kv_bias, h, 0, hpack)
         else:
-            from crossscore_tpu.ops.attention import dense_attention
+            qkv = qkv.reshape(b, n, 3, h, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q = q.transpose(0, 2, 1, 3)  # (B, H, N, hd)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            if self.attention_impl == "pallas":
+                from crossscore_tpu.ops.flash_attention import (
+                    flash_cross_attention, flash_cross_attention_masked, pick_blocks,
+                )
 
-            out = dense_attention(q, k, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-        return nn.Dense(d, dtype=self.dtype, name="out")(out)
+                if kv_bias is None:
+                    out = flash_cross_attention(q, k, v, *pick_blocks(n, n))
+                else:
+                    out = flash_cross_attention_masked(
+                        q, k, v, kv_bias, *pick_blocks(n, n)
+                    )
+            elif self.attention_impl.startswith("tp:"):
+                # tensor parallelism: heads sharded over the mesh axis, the
+                # kernel shard_map'd per device (GSPMD can't partition it)
+                if kv_bias is not None:
+                    raise NotImplementedError(
+                        "shape-bucketed masking under tp: attention"
+                    )
+                from crossscore_tpu.ops.flash_attention import tp_flash_cross_attention
+
+                out = tp_flash_cross_attention(q, k, v, self.attention_impl[3:])
+            else:
+                from crossscore_tpu.ops.attention import dense_attention
+
+                out = dense_attention(q, k, v, kv_bias=kv_bias)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        return make_dense(self.quant, d, self.dtype, "out")(out)
 
 
 class ViTBlock(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, kv_bias=None):
+        from crossscore_tpu.ops.quant import make_dense
+
         c = self.cfg
         ls1 = self.param("ls1", nn.initializers.constant(c.layerscale_init), (c.hidden_size,))
         ls2 = self.param("ls2", nn.initializers.constant(c.layerscale_init), (c.hidden_size,))
 
         y = LayerNorm(c.layer_norm_eps, name="ln1")(x)
-        y = ViTAttention(c, self.dtype, self.attention_impl, name="attn")(y)
+        y = ViTAttention(c, self.dtype, self.attention_impl, self.quant, name="attn")(
+            y, kv_bias
+        )
         x = x + y * ls1.astype(x.dtype)
 
         y = LayerNorm(c.layer_norm_eps, name="ln2")(x)
-        y = nn.Dense(c.mlp_ratio * c.hidden_size, dtype=self.dtype, name="fc1")(y)
+        y = make_dense(self.quant, c.mlp_ratio * c.hidden_size, self.dtype, "fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(y)
+        y = make_dense(self.quant, c.hidden_size, self.dtype, "fc2")(y)
         x = x + y * ls2.astype(x.dtype)
         return x
 
@@ -146,9 +188,15 @@ class Dinov2Encoder(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     attention_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray, valid_grid=None) -> jnp.ndarray:
+        """``valid_grid``: traced (gh_v, gw_v) for shape-bucketed inference —
+        images are bucket-padded right/bottom; position embeddings are sampled
+        for the VALID grid and tokens from padded patches are masked out of
+        every self-attention (their residual-stream values stay garbage but
+        cannot influence valid tokens)."""
         c = self.cfg
         b, hgt, wdt, _ = images.shape
         p = c.patch_size
@@ -173,7 +221,14 @@ class Dinov2Encoder(nn.Module):
             nn.initializers.truncated_normal(0.02),
             (1, 1 + native * native, c.hidden_size),
         )
-        if (gh, gw) == (native, native):
+        if valid_grid is not None:
+            from crossscore_tpu.ops.interpolate import interpolate_bicubic_dyn
+
+            grid = pos_embed[0, 1:].reshape(native, native, c.hidden_size)
+            patch_pos = interpolate_bicubic_dyn(
+                grid, gh, gw, valid_grid[0], valid_grid[1]
+            ).reshape(1, n, c.hidden_size)
+        elif (gh, gw) == (native, native):
             patch_pos = pos_embed[:, 1:]
         else:
             grid = pos_embed[0, 1:].reshape(native, native, c.hidden_size)
@@ -182,11 +237,23 @@ class Dinov2Encoder(nn.Module):
         cls = (cls_token + pos_embed[:, :1]).astype(self.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.hidden_size)), x], axis=1)
 
+        kv_bias = None
+        if valid_grid is not None:
+            # -1e30 (not -0.7*fmax): the kernels scale the bias by log2(e),
+            # which must not overflow fp32; exp2(-1e30 * log2e) is still 0.
+            rr = jnp.arange(gh)[:, None] < valid_grid[0]
+            cc = jnp.arange(gw)[None, :] < valid_grid[1]
+            tok_valid = jnp.concatenate(
+                [jnp.ones((1,), bool), (rr & cc).reshape(-1)]
+            )  # CLS + patches
+            kv_bias = jnp.where(tok_valid, 0.0, -1e30).astype(jnp.float32)
+
         # --- transformer blocks ---
         block_cls = ViTBlock
         if self.remat:
             block_cls = nn.remat(ViTBlock)
         for i in range(c.num_layers):
-            x = block_cls(c, self.dtype, self.attention_impl, name=f"block_{i}")(x)
+            x = block_cls(c, self.dtype, self.attention_impl, self.quant,
+                          name=f"block_{i}")(x, kv_bias)
 
         return LayerNorm(c.layer_norm_eps, name="final_ln")(x)

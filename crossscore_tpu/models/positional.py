@@ -27,12 +27,32 @@ class MultiViewPositionalEmbedding(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, n_view: int, grid_h: int, grid_w: int) -> jnp.ndarray:
-        """tokens: (B, n_view * grid_h * grid_w, C) -> same shape with PE added."""
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        n_view: int,
+        grid_h: int,
+        grid_w: int,
+        valid_grid=None,
+    ) -> jnp.ndarray:
+        """tokens: (B, n_view * grid_h * grid_w, C) -> same shape with PE added.
+
+        ``valid_grid``: traced (gh_v, gw_v) under shape-bucketed inference —
+        the PE is interpolated for the VALID grid and placed into the padded
+        (grid_h, grid_w) layout (padded positions are masked in attention).
+        """
         pe = self.param(
             "pe", nn.initializers.normal(1.0), (self.pe_h, self.pe_w, self.hidden_size)
         )
-        if (grid_h, grid_w) == (self.pe_h, self.pe_w):
+        if valid_grid is not None:
+            from crossscore_tpu.ops.interpolate import (
+                interpolate_bilinear_align_corners_dyn,
+            )
+
+            pe_hw = interpolate_bilinear_align_corners_dyn(
+                pe, grid_h, grid_w, valid_grid[0], valid_grid[1]
+            )
+        elif (grid_h, grid_w) == (self.pe_h, self.pe_w):
             pe_hw = pe
         else:
             pe_hw = interpolate_bilinear_align_corners(pe, grid_h, grid_w)

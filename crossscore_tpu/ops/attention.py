@@ -17,13 +17,22 @@ def dense_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
+    kv_bias: jnp.ndarray | None = None,
     return_probs: bool = False,
 ):
-    """(B, H, Nq, hd) x (B, H, Nk, hd) -> (B, H, Nq, hd) dense attention."""
+    """(B, H, Nq, hd) x (B, H, Nk, hd) -> (B, H, Nq, hd) dense attention.
+
+    ``kv_bias``: optional additive logits bias over the KV axis (any shape
+    broadcastable to (B, H, Nq, Nk), typically (Nk,)) — used to mask padded
+    tokens under shape-bucketed inference (0 valid / -large padded).
+    """
     hd = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1)
+    logits = logits * scale
+    if kv_bias is not None:
+        logits = logits + kv_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     if return_probs:
         return out, probs

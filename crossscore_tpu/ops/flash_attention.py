@@ -224,7 +224,9 @@ def _fwd_kernel_single_v2(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
         t = s * c1 + bias_ref[0]
         m = jnp.max(t, axis=1, keepdims=True)
         tm = t - m
-        if exp_bf16:
+        if exp_bf16 == "noexp":  # timing probe ONLY (wrong math): exp2 cost
+            p = tm.astype(v_ref.dtype)
+        elif exp_bf16:
             p = jnp.exp2(tm.astype(jnp.bfloat16)).astype(v_ref.dtype)
         else:
             p = jnp.exp2(tm).astype(v_ref.dtype)
@@ -249,8 +251,12 @@ def _fwd_kernel_single_v2(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "block_h", "variant"))
 def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 1,
-               variant: str = "v1"):
-    """q: (B, H, Nq, hd); k, v: (B, H, Nk, hd) -> (o, l, m) with padding stripped."""
+               variant: str = "v1", kv_bias=None):
+    """q: (B, H, Nq, hd); k, v: (B, H, Nk, hd) -> (o, l, m) with padding stripped.
+
+    ``kv_bias``: optional (Nk,) additive logits bias (token masking for
+    shape-bucketed inference); merged with the block-padding mask. v2 only.
+    """
     b, h, nq, hd = q.shape
     nk = k.shape[2]
     sm_scale = 1.0 / (hd ** 0.5)
@@ -275,7 +281,7 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
         # softmax. See kernel docstrings; A/B numbers in PERFORMANCE.md.
         # "v2_noaug" / "v2_bf16" exist for microbench A/Bs (tools/attn_microbench).
         aug = not variant.endswith("noaug")
-        exp_bf16 = "bf16" in variant
+        exp_bf16 = "noexp" if "noexp" in variant else ("bf16" in variant)
         v_lanes = hd
         if aug:
             v_lanes = _ceil_to(hd + 1, LANES)
@@ -288,6 +294,9 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
                 axis=-1,
             )
         bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF)
+        if kv_bias is not None:
+            # kernel bias rides the exp2-base score tile: pre-scale by log2(e)
+            bias = bias + jnp.pad(kv_bias.astype(jnp.float32) * LOG2E, (0, nk_p - nk))
         bias = bias.astype(jnp.float32).reshape(1, nk_p)
         if single_kv:
             kernel = functools.partial(
@@ -338,6 +347,8 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
         m = m.reshape(b, h, nq_p)[:, :, :nq]
         return o, l, m
 
+    if kv_bias is not None:
+        raise NotImplementedError("kv_bias requires the v2 kernels")
     if single_kv:
         kernel = functools.partial(
             _fwd_kernel_single, sm_scale=sm_scale, kv_valid=nk, block_h=block_h
@@ -391,7 +402,13 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
 def _bwd_xla(residuals, do, *, block_k: int):
     """Flash-style backward in plain XLA: scan over KV blocks, recomputing
     score tiles. Memory per step is O(Nq x block_k); the full score matrix is
-    never materialised."""
+    never materialised.
+
+    Matmul operands stay in the INPUT dtype (bf16 in production) with fp32
+    accumulation — upcasting operands to fp32 would put all five backward
+    matmuls on the ~8x-slower fp32 MXU path. Softmax statistics and the
+    ds/p tiles are fp32; they are cast back to bf16 only as matmul operands.
+    """
     q, k, v, o, l, m = residuals
     b, h, nq, hd = q.shape
     nk = k.shape[2]
@@ -403,11 +420,10 @@ def _bwd_xla(residuals, do, *, block_k: int):
     vf = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
     n_blocks = nk_p // block_k
 
-    qf32 = q.astype(jnp.float32)
-    dof32 = do.astype(jnp.float32)
-    # D_i = sum_d o_i * do_i  (rowwise)
-    delta = jnp.sum(o.astype(jnp.float32) * dof32, axis=-1)  # (B,H,Nq)
+    # D_i = sum_d o_i * do_i  (rowwise); lb folds the 1/l into the exp
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     l_safe = jnp.where(l == 0.0, 1.0, l)
+    lb = m + jnp.log(l_safe)  # p = exp(s*scale - lb)
 
     kb = kf.reshape(b, h, n_blocks, block_k, hd).transpose(2, 0, 1, 3, 4)
     vb = vf.reshape(b, h, n_blocks, block_k, hd).transpose(2, 0, 1, 3, 4)
@@ -415,18 +431,20 @@ def _bwd_xla(residuals, do, *, block_k: int):
 
     def step(dq_acc, xs):
         kj, vj, c0 = xs  # (B,H,bk,hd) x2, scalar
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf32, kj.astype(jnp.float32),
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kj,
                        preferred_element_type=jnp.float32) * sm_scale
         col_ids = c0 + jnp.arange(block_k)
         valid = (col_ids < nk)[None, None, None, :]
-        p = jnp.where(valid, jnp.exp(s - m[..., None]) / l_safe[..., None], 0.0)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", dof32, vj.astype(jnp.float32),
+        p = jnp.where(valid, jnp.exp(s - lb[..., None]), 0.0)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", do, vj,
                         preferred_element_type=jnp.float32)
         ds = p * (dp - delta[..., None]) * sm_scale
-        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, kj.astype(jnp.float32),
+        p_mm = p.astype(v.dtype)
+        ds_mm = ds.astype(v.dtype)
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds_mm, kj,
                                      preferred_element_type=jnp.float32)
-        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf32, preferred_element_type=jnp.float32)
-        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, dof32, preferred_element_type=jnp.float32)
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds_mm, q, preferred_element_type=jnp.float32)
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p_mm, do, preferred_element_type=jnp.float32)
         return dq_acc, (dk_j, dv_j)
 
     dq0 = jnp.zeros((b, h, nq, hd), jnp.float32)
@@ -434,6 +452,242 @@ def _bwd_xla(residuals, do, *, block_k: int):
     dk = dk_b.transpose(1, 2, 0, 3, 4).reshape(b, h, nk_p, hd)[:, :, :nk]
     dv = dv_b.transpose(1, 2, 0, 3, 4).reshape(b, h, nk_p, hd)[:, :, :nk]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def tp_flash_cross_attention(q, k, v, axis: str):
+    """Run the flash kernel under tensor parallelism.
+
+    GSPMD cannot partition ``pallas_call`` (it would all-gather the inputs or
+    fail), so under a 2-D (data x model) mesh the kernel is wrapped in
+    ``shard_map``: heads are sharded over ``axis`` and every device runs the
+    kernel on its local heads — attention heads are independent, so there is
+    NO communication. Select with ``model.tpu.attention_impl=tp:<axis>``.
+
+    The mesh is resolved from the registry fed by ``parallel.make_mesh``
+    (shard_map needs axis names/sizes at trace time; Flax modules only carry
+    config strings). The batch dim is sharded over the remaining mesh axes
+    when divisible, else replicated (e.g. during b=1 model init).
+    """
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from crossscore_tpu.parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no axis {axis!r}")
+    if q.shape[1] % mesh.shape[axis]:
+        raise ValueError(
+            f"{q.shape[1]} heads not divisible by mesh axis {axis}={mesh.shape[axis]}"
+        )
+    data_axes = tuple(a for a in mesh.axis_names if a != axis)
+    data_size = 1
+    for a in data_axes:
+        data_size *= mesh.shape[a]
+    batch_spec = data_axes if (data_axes and q.shape[0] % data_size == 0) else None
+    spec = P(batch_spec, axis, None, None)
+
+    def local(q, k, v):
+        return flash_cross_attention(q, k, v, *pick_blocks(q.shape[2], k.shape[2]))
+
+    return _jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec, check_vma=False
+    )(q, k, v)
+
+
+def pick_qkv_hpack(h: int, hd: int) -> int:
+    """Heads per grid cell for the layout-native kernel: fill a 128-lane block
+    when possible (e.g. 2 heads at hd=64), clamped to divide H."""
+    hp = max(1, min(h, LANES // hd))
+    while h % hp:
+        hp -= 1
+    return hp
+
+
+def _fwd_kernel_qkv_biased(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
+                           sm_scale: float, hd: int, hpack: int):
+    """Layout-native kernel with an additive KV-token bias row (shape-bucketed
+    inference: 0 for valid tokens, -large for padded ones). One extra FMA pass
+    over the score tile vs ``_fwd_kernel_qkv``."""
+    c1 = sm_scale * LOG2E
+    for j in range(hpack):
+        q = q_ref[0][:, j * hd:(j + 1) * hd]
+        k = k_ref[0][:, j * hd:(j + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        t = s * c1 + bias_ref[0]
+        m = jnp.max(t, axis=1, keepdims=True)
+        p = jnp.exp2(t - m).astype(v_ref.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        v = v_ref[0][:, j * hd:(j + 1) * hd]
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, :, j * hd:(j + 1) * hd] = (o * l_inv).astype(o_ref.dtype)
+        l_ref[0, j] = l.astype(l_ref.dtype)
+        m_ref[0, j] = (m * (1.0 / LOG2E)).astype(m_ref.dtype)
+
+
+def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
+                    sm_scale: float, hd: int, hpack: int):
+    """Layout-native self-attention kernel: q/k/v refs are LANE-SLICED VIEWS of
+    the fused qkv-projection output (B, N, 3*H*hd) — the same array passed
+    three times with different index maps. ``hpack`` heads (hpack*hd = 128
+    lanes, one full lane block) are processed per grid cell. The output block
+    writes straight into (B, N, H*hd), which the out-projection consumes as-is.
+
+    This removes every relayout around the attention core: no (B,N,3,H,hd) ->
+    (B,H,N,hd) transposes, no token-axis padding copies, no augmented-V
+    concatenation — at the bench point those were ~1.5 ms/layer of pure HBM
+    traffic (tools/model_breakdown.py round 2). Block shapes match the logical
+    token count exactly (Mosaic handles non-multiple-of-tile shapes), so the
+    softmax needs no padding mask at all.
+    """
+    c1 = sm_scale * LOG2E
+    for j in range(hpack):
+        q = q_ref[0][:, j * hd:(j + 1) * hd]
+        k = k_ref[0][:, j * hd:(j + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2((s - m) * c1).astype(v_ref.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        v = v_ref[0][:, j * hd:(j + 1) * hd]
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, :, j * hd:(j + 1) * hd] = (o * l_inv).astype(o_ref.dtype)
+        l_ref[0, j] = l.astype(l_ref.dtype)
+        m_ref[0, j] = (m * sm_scale).astype(m_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "hpack"))
+def _flash_qkv_fwd(qkv, num_heads: int, block_q: int = 0, hpack: int = 2,
+                   kv_bias=None):
+    """qkv: (B, N, 3*D) fused projection output -> (o (B,N,D), l, m (B,H,N)).
+
+    ``kv_bias``: optional (N,) additive logits bias over the token axis
+    (masking for shape-bucketed inference)."""
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    h = num_heads
+    hd = d // h
+    if block_q <= 0:
+        # auto: largest q block whose fp32 score tile + bf16 p tile fit a
+        # ~6 MB VMEM budget (whole row when it fits). Must be a multiple of 8
+        # (Mosaic block constraint); the partial EDGE block (n % block_q) is
+        # handled by Mosaic's masked DMA — garbage rows never leave the cell.
+        block_q = min(n, max(128, (6_000_000 // (n * 6)) // 8 * 8))
+    lane_blk = hpack * hd
+    if h % hpack:
+        raise ValueError(f"hpack {hpack} incompatible with H={h}, hd={hd}")
+    nlb = d // lane_blk  # lane-blocks per q/k/v section
+    sm_scale = 1.0 / (hd ** 0.5)
+    grid = (b, nlb, pl.cdiv(n, block_q))
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, lane_blk), lambda b_, p, qi: (b_, qi, p)),
+        pl.BlockSpec((1, n, lane_blk), lambda b_, p, qi: (b_, 0, nlb + p)),
+        pl.BlockSpec((1, n, lane_blk), lambda b_, p, qi: (b_, 0, 2 * nlb + p)),
+    ]
+    inputs = (qkv, qkv, qkv)
+    if kv_bias is None:
+        kernel = functools.partial(
+            _fwd_kernel_qkv, sm_scale=sm_scale, hd=hd, hpack=hpack
+        )
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_qkv_biased, sm_scale=sm_scale, hd=hd, hpack=hpack
+        )
+        bias_row = (kv_bias.astype(jnp.float32) * LOG2E).reshape(1, n)
+        in_specs = [pl.BlockSpec((1, n), lambda b_, p, qi: (0, 0))] + in_specs
+        inputs = (bias_row,) + inputs
+    o, l, m = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, lane_blk), lambda b_, p, qi: (b_, qi, p)),
+            pl.BlockSpec((1, hpack, block_q, 1), lambda b_, p, qi: (b_, p, qi, 0)),
+            pl.BlockSpec((1, hpack, block_q, 1), lambda b_, p, qi: (b_, p, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * hd,
+            bytes_accessed=b * n * d3 * 2 * 2,
+            transcendentals=b * h * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*inputs)
+    return o, l[..., 0], m[..., 0]  # l, m: (B, H, N)
+
+
+def flash_qkv_self_attention_masked(qkv, kv_bias, num_heads: int,
+                                    block_q: int = 0, hpack: int = 2):
+    """Forward-only masked variant of :func:`flash_qkv_self_attention` for
+    shape-bucketed inference (no custom VJP — bucketing is an eval-path
+    feature; training always uses fixed crops, reference config/data/*.yaml)."""
+    o, _, _ = _flash_qkv_fwd(qkv, num_heads, block_q=block_q, hpack=hpack,
+                             kv_bias=kv_bias)
+    return o
+
+
+def flash_cross_attention_masked(q, k, v, kv_bias, block_q: int = 512,
+                                 block_k: int = 1024, block_h: int = 1):
+    """Forward-only masked flash attention (see flash_qkv_self_attention_masked)."""
+    o, _, _ = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
+                         block_h=block_h, variant="v2", kv_bias=kv_bias)
+    return o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def flash_qkv_self_attention(qkv, num_heads: int, block_q: int = 0, hpack: int = 2):
+    """Self-attention straight off the fused qkv projection.
+
+    qkv (B, N, 3*D) -> (B, N, D), equal to reshaping into heads, running
+    softmax(q k^T / sqrt(hd)) v per head, and re-packing — without any of
+    those relayouts touching HBM. Backward reconstructs per-head views and
+    reuses the flash-style XLA backward (training pays the transposes; the
+    inference hot path does not).
+    """
+    o, _, _ = _flash_qkv_fwd(qkv, num_heads, block_q=block_q, hpack=hpack)
+    return o
+
+
+def _split_qkv(qkv, h):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // h
+    parts = qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, hd)
+    return parts[0], parts[1], parts[2]
+
+
+def _fqsa_fwd(qkv, num_heads, block_q, hpack):
+    o, l, m = _flash_qkv_fwd(qkv, num_heads, block_q=block_q, hpack=hpack)
+    return o, (qkv, o, l, m)
+
+
+def _fqsa_bwd(num_heads, block_q, hpack, residuals, do):
+    qkv, o, l, m = residuals
+    b, n, d = o.shape
+    h = num_heads
+    hd = d // h
+    q, k, v = _split_qkv(qkv, h)
+    o_h = o.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+    do_h = do.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+    dq, dk, dv = _bwd_xla((q, k, v, o_h, l, m), do_h, block_k=1024)
+    dqkv = jnp.stack([dq, dk, dv], axis=0).transpose(1, 3, 0, 2, 4).reshape(b, n, 3 * d)
+    return (dqkv,)
+
+
+flash_qkv_self_attention.defvjp(_fqsa_fwd, _fqsa_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

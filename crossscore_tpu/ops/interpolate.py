@@ -96,6 +96,76 @@ def interpolate_bicubic(src: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray
     return out.astype(src.dtype)
 
 
+def interpolate_bilinear_align_corners_dyn(
+    src: jnp.ndarray, out_h: int, out_w: int, valid_h, valid_w
+) -> jnp.ndarray:
+    """Traced-target-size variant for shape-bucketed inference.
+
+    Returns a STATIC (out_h, out_w, C) array whose ``[:valid_h, :valid_w]``
+    region equals ``interpolate_bilinear_align_corners(src, valid_h, valid_w)``
+    — valid_* are TRACED ints, so one compiled graph serves every valid size
+    within a bucket. Rows/cols beyond the valid region hold clamped-edge
+    samples and must be masked downstream.
+    """
+    in_h, in_w, _ = src.shape
+
+    def coords(in_size: int, out_size: int, valid):
+        i = jnp.arange(out_size, dtype=jnp.float32)
+        denom = jnp.maximum(valid - 1, 1).astype(jnp.float32)
+        c = jnp.where(valid == 1, 0.0, i * (in_size - 1) / denom)
+        lo = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.clip(lo + 1, 0, in_size - 1)
+        return lo, hi, c - lo.astype(jnp.float32)
+
+    lo_h, hi_h, fh = coords(in_h, out_h, valid_h)
+    lo_w, hi_w, fw = coords(in_w, out_w, valid_w)
+    top = jnp.take(src, lo_h, axis=0)
+    bot = jnp.take(src, hi_h, axis=0)
+    rows = top + (bot - top) * fh[:, None, None]
+    left = jnp.take(rows, lo_w, axis=1)
+    right = jnp.take(rows, hi_w, axis=1)
+    return left + (right - left) * fw[None, :, None]
+
+
+def _cubic_kernel_jnp(t, a: float = -0.75):
+    t = jnp.abs(t)
+    return jnp.where(
+        t <= 1,
+        (a + 2) * t**3 - (a + 3) * t**2 + 1,
+        jnp.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+    )
+
+
+def interpolate_bicubic_dyn(
+    src: jnp.ndarray, out_h: int, out_w: int, valid_h, valid_w
+) -> jnp.ndarray:
+    """Traced-target-size bicubic (align_corners=False): static (out_h, out_w)
+    output whose ``[:valid_h, :valid_w]`` equals
+    ``interpolate_bicubic(src, valid_h, valid_w)``. The clipped-edge taps of
+    the static matrix construction are reproduced by clipped gathers (clip +
+    add is commutative over the 4 taps)."""
+    in_h, in_w, _ = src.shape
+
+    def axis_apply(x, axis: int, in_size: int, out_size: int, valid):
+        scale = in_size / valid.astype(jnp.float32)
+        c = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+        base = jnp.floor(c)
+        acc = None
+        for tap in range(-1, 3):
+            idx = jnp.clip((base + tap).astype(jnp.int32), 0, in_size - 1)
+            w = _cubic_kernel_jnp(c - (base + tap))
+            wx = jnp.take(x, idx, axis=axis).astype(jnp.float32)
+            shape = [1, 1, 1]
+            shape[axis] = out_size
+            term = wx * w.reshape(shape)
+            acc = term if acc is None else acc + term
+        return acc
+
+    out = axis_apply(src, 0, in_h, out_h, valid_h)
+    out = axis_apply(out, 1, in_w, out_w, valid_w)
+    return out.astype(src.dtype)
+
+
 def resize_bilinear_antialias(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Antialiased bilinear resize for host-side numpy images (H, W, C) or (H, W).
 

@@ -28,6 +28,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# Most recently constructed mesh. GSPMD cannot partition `pallas_call`, so
+# kernels that must run under tensor parallelism are wrapped in `shard_map`,
+# which needs the mesh axes at TRACE time — but Flax modules only carry config
+# strings ("tp:model"). make_mesh registers here; current_mesh() resolves it.
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def current_mesh() -> Mesh:
+    if _CURRENT_MESH is None:
+        raise RuntimeError(
+            "No mesh registered: build one with parallel.make_mesh() (or call "
+            "parallel.set_current_mesh) before using a 'tp:<axis>' attention impl"
+        )
+    return _CURRENT_MESH
+
+
+def set_current_mesh(mesh: Mesh) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
@@ -49,8 +70,11 @@ def make_mesh(
     if model_parallel > 1:
         if n % model_parallel:
             raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-        return Mesh(devices.reshape(n // model_parallel, model_parallel), ("data", "model"))
-    return Mesh(devices, ("data",))
+        mesh = Mesh(devices.reshape(n // model_parallel, model_parallel), ("data", "model"))
+    else:
+        mesh = Mesh(devices, ("data",))
+    set_current_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -146,6 +146,36 @@ def load_model_params(cfg: Config, model, example_batch) -> dict:
     return restored
 
 
+def crop_bucketed(batch: dict, outputs: dict) -> tuple[dict, dict]:
+    """Crop bucket-padded batch arrays and model outputs back to the item's
+    true shape for writers/visualisers/summarisers. No-op without
+    ``_valid_hw`` (see data/bucketing.py). Images crop to (h, w); score maps
+    to the jigsaw extent (h//14*14, w//14*14); attention-weight maps to the
+    valid patch grid."""
+    import numpy as np
+
+    vhw = batch.get("_valid_hw")
+    if vhw is None:
+        return batch, outputs
+    h, w = int(vhw[0]), int(vhw[1])
+    ch, cw = h // 14 * 14, w // 14 * 14
+    gh, gw = h // 14, w // 14
+    b2 = dict(batch)
+    for k in ("query/img", "reference/cross/imgs"):
+        if k in b2 and b2[k] is not None:
+            b2[k] = np.asarray(b2[k])[..., :h, :w, :]
+    if "query/score_map" in b2:
+        b2["query/score_map"] = np.asarray(b2["query/score_map"])[..., :ch, :cw]
+    o2 = dict(outputs)
+    if "score_map_ref_cross" in o2:
+        o2["score_map_ref_cross"] = np.asarray(o2["score_map_ref_cross"])[:, :ch, :cw]
+    if "attn_weights_map_ref_cross" in o2:
+        o2["attn_weights_map_ref_cross"] = np.asarray(
+            o2["attn_weights_map_ref_cross"]
+        )[:, :gh, :gw, :, :gh, :gw]
+    return b2, o2
+
+
 def all_process_weighted_mean(series: list, weights: list) -> list:
     """Weighted means of one or more metric series, all-reduced across hosts.
 

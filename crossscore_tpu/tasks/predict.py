@@ -58,20 +58,63 @@ def predict(cfg) -> Path:
         zero_reference=cfg.data.dataset.zero_reference,
         return_item_paths=True,
     )
-    # multi-device inference: batch sharded over a 1-D data mesh (replaces the
-    # reference's DDP predict, task/predict.py:119-124); no-op on one chip
-    from crossscore_tpu.parallel import make_mesh, batch_sharding
+    # multi-device inference. Two strategies, picked from config alone:
+    # - data parallel (default): batch sharded over a 1-D mesh (replaces the
+    #   reference's DDP predict, task/predict.py:119-124); no-op on one chip.
+    # - view parallel (model.tpu.view_parallel: auto|on|off): the K reference
+    #   views sharded over ALL devices — each chip encodes the query + its
+    #   K/n local refs, the decoder combines exactly via the context-parallel
+    #   softmax. `auto` picks it when the batch can't fill the devices but K
+    #   divides them (e.g. interactive B=1 predict on a pod slice).
+    from crossscore_tpu.parallel import make_mesh, batch_sharding, replicated
 
-    mesh = make_mesh(batch_size=cfg.data.loader.validation.batch_size)
-    loader = Loader(
-        dataset,
+    # shape bucketing (this_main.shape_buckets: auto|on|off): mixed-aspect
+    # datasets share ONE compiled graph per bucket instead of one per aspect
+    # ratio — the reference recompiles per shape (task/predict.py:69-93),
+    # operationally broken at 10-25 min/compile on TPU.
+    bucket_mode = str(cfg.this_main.get("shape_buckets", "auto"))
+    use_buckets = bucket_mode != "off" and cfg.this_main.crop_mode != "dataset_default"
+    if use_buckets:
+        shapes = {dataset.get_item_shape(i) for i in range(len(dataset))}
+        if bucket_mode == "auto" and len(shapes) <= 1:
+            use_buckets = False  # single static shape: no padding overhead
+
+    n_dev = len(jax.devices())
+    k_refs = int(cfg.data.neighbour_config.cross)
+    vp_mode = str(cfg.model.tpu.get("view_parallel", "auto"))
+    data_mesh = make_mesh(batch_size=cfg.data.loader.validation.batch_size)
+    use_vp = (
+        not use_buckets
+        and vp_mode != "off"
+        and not cfg.model.need_attn_weights
+        and n_dev > 1
+        and k_refs % n_dev == 0
+        and (vp_mode == "on" or len(data_mesh.devices.reshape(-1)) < n_dev)
+    )
+    mesh = make_mesh() if use_vp else data_mesh
+    if use_vp:
+        print(f"view-parallel predict: K={k_refs} refs sharded over {n_dev} devices")
+    loader_kw = dict(
         batch_size=cfg.data.loader.validation.batch_size,
-        shuffle=False,
         num_workers=cfg.data.loader.validation.num_workers,
         prefetch_batches=cfg.data.loader.validation.prefetch_factor,
         seed=cfg.seed,
-        sharding=batch_sharding(mesh),
+        sharding=replicated(mesh) if use_vp else batch_sharding(mesh),
     )
+    if use_buckets:
+        from crossscore_tpu.data.bucketing import ShapeBucketedLoader
+
+        loader = ShapeBucketedLoader(
+            dataset,
+            bucket_multiple=int(cfg.this_main.get("bucket_multiple", 112)),
+            **loader_kw,
+        )
+        print(
+            f"shape-bucketed predict: {len(shapes)} item shapes -> "
+            f"{len(loader.distinct_buckets())} bucket graph(s)"
+        )
+    else:
+        loader = Loader(dataset, shuffle=False, **loader_kw)
 
     mcfg = CrossScoreConfig.from_config(cfg)
     model = CrossScoreNet(mcfg)
@@ -91,13 +134,27 @@ def predict(cfg) -> Path:
     )
     visualiser = make_visualiser(cfg)
 
-    step = jax.jit(
-        make_predict_step(
-            model,
-            need_attn_weights=cfg.model.need_attn_weights,
-            head_id=cfg.model.need_attn_weights_head_id,
+    if use_vp:
+        import dataclasses
+
+        from crossscore_tpu.parallel.view_parallel import make_view_parallel_apply
+
+        vp_model = CrossScoreNet(
+            dataclasses.replace(mcfg, attention_impl=f"cp:{mesh.axis_names[0]}")
         )
-    )
+        vp_fn = make_view_parallel_apply(vp_model, mesh)
+
+        def step(params, query, refs):
+            return {"score_map_ref_cross": vp_fn(params, query, refs)}
+
+    else:
+        step = jax.jit(
+            make_predict_step(
+                model,
+                need_attn_weights=cfg.model.need_attn_weights,
+                head_id=cfg.model.need_attn_weights_head_id,
+            )
+        )
 
     vis_every = cfg.logger.predict.write.config.vis_img_every_n_steps
     n_batches = 0
@@ -108,6 +165,9 @@ def predict(cfg) -> Path:
     def process(batch_idx, batch, outputs_dev):
         # materialising blocks on the device; everything after is host-side
         outputs = {k: np.asarray(v, dtype=np.float32) for k, v in outputs_dev.items()}
+        from crossscore_tpu.tasks.common import crop_bucketed
+
+        batch, outputs = crop_bucketed(batch, outputs)
         summariser.update(batch_input=batch, batch_output=outputs)
         if vis_every > 0 and batch_idx % vis_every == 0:
             import matplotlib.pyplot as plt
@@ -124,7 +184,15 @@ def predict(cfg) -> Path:
     for batch_idx, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and batch_idx >= max_batches:
             break
-        outputs_dev = step(params, batch["query/img"], batch.get("reference/cross/imgs"))
+        if use_buckets:
+            outputs_dev = step(
+                params,
+                batch["query/img"],
+                batch.get("reference/cross/imgs"),
+                batch["_valid_hw"],
+            )
+        else:
+            outputs_dev = step(params, batch["query/img"], batch.get("reference/cross/imgs"))
         if pending is not None:
             process(*pending)
         pending = (batch_idx, batch, outputs_dev)

@@ -60,15 +60,36 @@ def test(cfg) -> Path:
     from crossscore_tpu.parallel import make_mesh, batch_sharding
 
     mesh = make_mesh(batch_size=cfg.data.loader.validation.batch_size)
-    loader = Loader(
-        dataset,
+    loader_kw = dict(
         batch_size=cfg.data.loader.validation.batch_size,
-        shuffle=False,
         num_workers=cfg.data.loader.validation.num_workers,
         prefetch_batches=cfg.data.loader.validation.prefetch_factor,
         seed=cfg.seed,
         sharding=batch_sharding(mesh),
     )
+    # shape bucketing: mixed-aspect test sets share one graph per bucket
+    # (see tasks/predict.py / data/bucketing.py); metrics are masked to the
+    # valid region inside the jitted step via batch["_valid_hw"]
+    bucket_mode = str(cfg.this_main.get("shape_buckets", "auto"))
+    use_buckets = bucket_mode != "off" and cfg.this_main.crop_mode != "dataset_default"
+    if use_buckets:
+        shapes = {dataset.get_item_shape(i) for i in range(len(dataset))}
+        if bucket_mode == "auto" and len(shapes) <= 1:
+            use_buckets = False
+    if use_buckets:
+        from crossscore_tpu.data.bucketing import ShapeBucketedLoader
+
+        loader = ShapeBucketedLoader(
+            dataset,
+            bucket_multiple=int(cfg.this_main.get("bucket_multiple", 112)),
+            **loader_kw,
+        )
+        print(
+            f"shape-bucketed test: {len(shapes)} item shapes -> "
+            f"{len(loader.distinct_buckets())} bucket graph(s)"
+        )
+    else:
+        loader = Loader(dataset, shuffle=False, **loader_kw)
 
     mcfg = CrossScoreConfig.from_config(cfg)
     model = CrossScoreNet(mcfg)
@@ -98,6 +119,9 @@ def test(cfg) -> Path:
 
     def process(batch_idx, batch, pred_dev, metrics_dev):
         outputs = {"score_map_ref_cross": np.asarray(pred_dev, dtype=np.float32)}
+        from crossscore_tpu.tasks.common import crop_bucketed
+
+        batch, outputs = crop_bucketed(batch, outputs)
         rows.append(
             {
                 "batch_idx": batch_idx,

@@ -40,34 +40,46 @@ def create_train_state(params, tx) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 
-def _item_weights(batch, batch_dim: int):
-    """(B,) 0/1 weights excluding loader-padded duplicate items.
+def _weights(batch, shape) -> "jnp.ndarray | None":
+    """(B, H, W) 0/1 weights excluding loader padding from eval metrics.
 
-    The loader pads the final partial batch by repeating the last item
-    (``data/loader.py``) with the true count in ``batch["_valid"]``; the
-    reference evaluates each item exactly once, so metrics must not average
-    over the padding (reference ``task/core.py:379-393``)."""
+    Two padding sources, both from ``data/loader.py``: duplicate items in the
+    final partial batch (``batch["_valid"]``, reference evaluates each item
+    exactly once, ``task/core.py:379-393``) and bucket-padded image regions
+    under shape-bucketed inference (``batch["_valid_hw"]``; the valid jigsaw
+    extent is ``(h//14*14, w//14*14)``)."""
+    b, hgt, wdt = shape
     valid = batch.get("_valid")
-    if valid is None:
+    valid_hw = batch.get("_valid_hw")
+    if valid is None and valid_hw is None:
         return None
-    return (jnp.arange(batch_dim) < valid).astype(jnp.float32)
+    w = jnp.ones(shape, jnp.float32)
+    if valid is not None:
+        w = w * (jnp.arange(b) < valid).astype(jnp.float32)[:, None, None]
+    if valid_hw is not None:
+        ch = (valid_hw[0] // 14) * 14
+        cw = (valid_hw[1] // 14) * 14
+        region = (jnp.arange(hgt)[:, None] < ch) & (jnp.arange(wdt)[None, :] < cw)
+        w = w * region.astype(jnp.float32)[None]
+    return w
 
 
 def loss_fn(model: CrossScoreNet, params, batch):
+    valid_hw = batch.get("_valid_hw")
     out = model.apply(
         {"params": params},
         batch["query/img"],
         batch.get("reference/cross/imgs"),
+        valid_hw=None if valid_hw is None else (valid_hw[0], valid_hw[1]),
     )
     pred = out["score_map_ref_cross"]
     gt = batch["query/score_map"]
     l1 = jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32))
-    w = _item_weights(batch, l1.shape[0])
+    w = _weights(batch, l1.shape)
     if w is None:
         loss = l1.mean()
     else:
-        per_item = l1.shape[1] * l1.shape[2]
-        loss = jnp.sum(l1 * w[:, None, None]) / (jnp.maximum(w.sum(), 1.0) * per_item)
+        loss = jnp.sum(l1 * w) / jnp.maximum(w.sum(), 1.0)
     return loss, (pred, l1, w)
 
 
@@ -75,7 +87,7 @@ def _metrics(loss, pred, gt, w=None) -> dict:
     if w is None:
         corr = correlation(pred, gt)
     else:
-        corr = masked_correlation(pred, gt, w[:, None, None])
+        corr = masked_correlation(pred, gt, w)
     return {
         "loss": loss,
         "loss_cross": loss,
@@ -117,13 +129,14 @@ def make_eval_step(model: CrossScoreNet) -> Callable:
 
 
 def make_predict_step(model: CrossScoreNet, need_attn_weights: bool = False, head_id: int = 0):
-    def predict_step(params, query_img, ref_imgs):
+    def predict_step(params, query_img, ref_imgs, valid_hw=None):
         return model.apply(
             {"params": params},
             query_img,
             ref_imgs,
             need_attn_weights=need_attn_weights,
             need_attn_weights_head_id=head_id,
+            valid_hw=None if valid_hw is None else (valid_hw[0], valid_hw[1]),
         )
 
     return predict_step

@@ -1,0 +1,131 @@
+"""Shape-bucketed inference: padded + masked forward == unpadded forward.
+
+VERDICT r1 #2: the reference resizes the short side only, so every aspect
+ratio is a new XLA graph (10-25 min per cold TPU compile). Bucketing pads
+inputs to a static bucket shape with traced valid dims: attention masks +
+valid-grid positional embeddings make the valid output region equal the
+unpadded run, and ONE compiled graph serves every shape in the bucket.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig, ViTConfig
+
+VIT = ViTConfig(hidden_size=64, num_layers=2, num_heads=4, patch_size=14, image_size=56)
+MCFG = CrossScoreConfig(backbone=VIT, pe_h=6, pe_w=6, decoder_heads=4, decoder_layers=2)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = CrossScoreNet(MCFG)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 56, 56, 3)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((1, 2, 56, 56, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), q, r)["params"]
+    return model, params
+
+
+def _pad_to(x, hw):
+    h, w = hw
+    pad = [(0, 0)] * x.ndim
+    pad[-3] = (0, h - x.shape[-3])
+    pad[-2] = (0, w - x.shape[-2])
+    return jnp.pad(x, pad)
+
+
+@pytest.mark.parametrize("true_hw", [(56, 56), (56, 84), (84, 70), (42, 98)])
+def test_padded_masked_forward_matches_unpadded(model_and_params, true_hw):
+    model, params = model_and_params
+    bucket = (98, 112)
+    rng = np.random.default_rng(hash(true_hw) % 2**31)
+    h, w = true_hw
+    q = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((2, 3, h, w, 3)).astype(np.float32))
+
+    ref = model.apply({"params": params}, q, r)["score_map_ref_cross"]
+
+    out = model.apply(
+        {"params": params},
+        _pad_to(q, bucket),
+        _pad_to(r, bucket),
+        valid_hw=(jnp.asarray(h, jnp.int32), jnp.asarray(w, jnp.int32)),
+    )["score_map_ref_cross"]
+    got = out[:, :h, :w]
+    diff = float(jnp.abs(got - ref).max())
+    assert diff < 2e-4, (true_hw, diff)
+
+
+def test_mixed_aspect_test_cli(tmp_path):
+    """e2e: a mixed-aspect NVS tree evaluates through the test CLI with
+    shape bucketing — every frame scored exactly once, metrics finite.
+    (Without bucketing this dataset cannot even collate: shapes differ.)"""
+    import os
+
+    from crossscore_tpu.data.synthetic import generate
+    from crossscore_tpu.tasks.test import main
+
+    generate(
+        tmp_path / "datadir",
+        hw=[(84, 112), (112, 84)],
+        scenes_per_split={"train": 1, "test": 2},
+    )
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        out_dir = main([
+            "trainer.accelerator=cpu",
+            "model.tpu.compute_dtype=float32",
+            "model.backbone.preset=dinov2-test",
+            "data.neighbour_config.cross=2",
+            "data.dataset.path=[datadir]",
+            "data.loader.validation.batch_size=2",
+            "data.loader.validation.num_workers=1",
+            "this_main.resize_short_side=-1",
+            "this_main.shape_buckets=auto",
+            "this_main.bucket_multiple=56",
+            "alias=buckets",
+        ])
+    finally:
+        os.chdir(old)
+    if not out_dir.is_absolute():
+        out_dir = tmp_path / out_dir
+    import csv as _csv
+
+    with open(out_dir / "metrics.csv") as f:
+        rows = list(_csv.DictReader(f))
+    data_rows = [r for r in rows if r["batch_idx"] != "mean"]
+    # 2 test scenes x (4 gs_train + 3 gs_test query frames) = 14 items,
+    # grouped by the 2 shapes -> 4 batches per group at batch_size=2
+    assert len(data_rows) == 8
+    assert all(np.isfinite(float(r["test/loss"])) for r in data_rows)
+    csvs = list((out_dir / "score_summary").rglob("*.csv"))
+    assert csvs
+    import pandas as pd
+
+    df = pd.concat([pd.read_csv(c) for c in csvs])
+    assert len(df) == 14  # every frame summarised exactly once
+
+
+def test_one_graph_serves_all_shapes_in_bucket(model_and_params):
+    """jit-cache probe: four different valid shapes through ONE bucket reuse
+    ONE compiled graph (valid dims are traced, bucket dims static)."""
+    model, params = model_and_params
+    bucket = (98, 112)
+
+    @jax.jit
+    def fwd(q, r, h, w):
+        return model.apply({"params": params}, q, r, valid_hw=(h, w))[
+            "score_map_ref_cross"
+        ]
+
+    rng = np.random.default_rng(0)
+    for h, w in [(56, 56), (56, 84), (84, 70), (42, 98)]:
+        q = _pad_to(jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32), bucket)
+        r = _pad_to(
+            jnp.asarray(rng.standard_normal((1, 3, h, w, 3)), jnp.float32), bucket
+        )
+        fwd(q, r, jnp.asarray(h, jnp.int32), jnp.asarray(w, jnp.int32))
+    assert fwd._cache_size() == 1

@@ -136,6 +136,40 @@ class TestSPMDTrainStep:
             atol=1e-5,
         )
 
+    def test_tp_step_matches_dp_pallas_kernel(self, model_and_params):
+        """TP with the PALLAS kernel (attention_impl=tp:model): the flash
+        kernel runs under shard_map with heads sharded over the model axis —
+        GSPMD cannot partition pallas_call, so this wrapper is the only way to
+        keep the fused kernel under tensor parallelism (round-1 known gap)."""
+        import dataclasses
+
+        _, params = model_and_params
+        model_ref = CrossScoreNet(MCFG)
+        model_tp = CrossScoreNet(dataclasses.replace(MCFG, attention_impl="tp:model"))
+        cfg = load_config("default")
+        tx, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        batch = _batch(np.random.default_rng(3), 4)
+
+        ref_state, ref_metrics = jax.jit(make_train_step(model_ref, tx))(
+            create_train_state(params, tx), batch
+        )
+
+        mesh = make_mesh(8, model_parallel=2)  # registers the mesh for tp:
+        p_shard = param_shardings(params, mesh)
+        sparams = jax.device_put(params, p_shard)
+        state = create_train_state(sparams, tx)
+        sbatch = shard_batch(batch, mesh)
+        new_state, metrics = jax.jit(make_train_step(model_tp, tx))(state, sbatch)
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["head_fc2"]["kernel"]),
+            np.asarray(ref_state.params["head_fc2"]["kernel"]),
+            atol=2e-5,
+        )
+
 
 class TestEvalStep:
     def test_eval_metrics(self, model_and_params):

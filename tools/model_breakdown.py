@@ -80,19 +80,24 @@ def main():
         _time_loop(jax, jnp, fwd, (query, refs), label="full(warm)")
         _time_loop(jax, jnp, fwd, (query, refs), label="full")
 
-    if "backbone" in sections:
-        enc = Dinov2Encoder(mcfg.backbone, dtype=jnp.bfloat16,
-                            attention_impl=mcfg.attention_impl)
+    backbone_variants = [s for s in sections if s.startswith("backbone")]
+    if backbone_variants:
         imgs = jnp.asarray(
             rng.standard_normal((BATCH * (1 + K), HW, HW, 3)), jnp.bfloat16
         )
-        eparams = enc.init(jax.random.PRNGKey(0), imgs[:1, :70, :70])["params"]
+        for sec in backbone_variants:
+            # backbone | backbone_int8 | backbone_xla
+            quant = "int8" if "int8" in sec else "none"
+            impl = "xla" if "xla" in sec else mcfg.attention_impl
+            enc = Dinov2Encoder(mcfg.backbone, dtype=jnp.bfloat16,
+                                attention_impl=impl, quant=quant)
+            eparams = enc.init(jax.random.PRNGKey(0), imgs[:1, :70, :70])["params"]
 
-        def enc_fwd(i, x):
-            xx = x * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
-            return enc.apply({"params": eparams}, xx)
+            def enc_fwd(i, x, _enc=enc, _p=eparams):
+                xx = x * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+                return _enc.apply({"params": _p}, xx)
 
-        _time_loop(jax, jnp, enc_fwd, (imgs,), label="backbone")
+            _time_loop(jax, jnp, enc_fwd, (imgs,), label=sec)
 
     if "decoder" in sections:
         d = mcfg.backbone.hidden_size
