@@ -30,6 +30,53 @@ from crossscore_tpu.models.dinov2 import LayerNorm
 from crossscore_tpu.ops.attention import dense_attention  # noqa: F401 (re-export)
 
 
+class HeadProj(nn.Module):
+    """Linear projection producing HEAD-MAJOR output (B, H, N, hd) directly.
+
+    Parameter-compatible with ``nn.Dense`` (kernel (D_in, D), bias (D,)) so
+    torch-checkpoint conversion is unchanged; the head split/transpose is
+    expressed INSIDE the projection einsum, which XLA emits as one matmul
+    with the target layout instead of matmul + relayout copies (the decoder's
+    k/v operate on B*K*N ~ 88k tokens — the copies were measurable)."""
+
+    features: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.num_heads
+        hd = self.features // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k3 = kernel.reshape(x.shape[-1], h, hd).astype(self.dtype)
+        y = jnp.einsum("bnd,dhf->bhnf", x.astype(self.dtype), k3)
+        return y + bias.reshape(h, 1, hd).astype(self.dtype)
+
+
+class HeadOutProj(nn.Module):
+    """Out-projection consuming head-major (B, H, N, hd) -> (B, N, D);
+    param-compatible with ``nn.Dense`` (kernel (D, D), bias (D,))."""
+
+    features: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.num_heads
+        hd = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (h * hd, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k3 = kernel.reshape(h, hd, self.features).astype(self.dtype)
+        y = jnp.einsum("bhnf,hfd->bnd", x.astype(self.dtype), k3)
+        return y + bias.astype(self.dtype)
+
+
 class TorchStyleMHA(nn.Module):
     """torch.nn.MultiheadAttention-equivalent (batch_first, same q/k/v dims)."""
 
@@ -52,13 +99,9 @@ class TorchStyleMHA(nn.Module):
         h = self.num_heads
         hd = self.d_model // h
 
-        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(key)
-        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(value)
-
-        q = q.reshape(b, nq, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, nk, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, nk, h, hd).transpose(0, 2, 1, 3)
+        q = HeadProj(self.d_model, h, dtype=self.dtype, name="q_proj")(query)
+        k = HeadProj(self.d_model, h, dtype=self.dtype, name="k_proj")(key)
+        v = HeadProj(self.d_model, h, dtype=self.dtype, name="v_proj")(value)
 
         probs = None
         if need_weights:
@@ -95,8 +138,7 @@ class TorchStyleMHA(nn.Module):
         else:
             out = dense_attention(q, k, v)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, nq, self.d_model)
-        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        out = HeadOutProj(self.d_model, h, dtype=self.dtype, name="out_proj")(out)
         return out, probs  # probs: (B, H, Nq, Nk) or None
 
 

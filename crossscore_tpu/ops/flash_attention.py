@@ -45,10 +45,11 @@ def pick_blocks(nq: int, nk: int) -> tuple[int, int, int]:
     """Tuned (block_q, block_k, block_h) (v5e measurements, PERFORMANCE.md):
     large q blocks amortise softmax bookkeeping; when the whole KV fits one
     VMEM-friendly block (<=2048 tokens) a single exact-softmax kv step wins,
-    with block_q half the query axis (~700 for 1370 tokens: 8.97ms vs 9.49 at
-    512) and two batch*head slices per grid cell when the score tiles fit VMEM
-    (52.0 -> 53.1 maps/s end to end). The q axis only needs sublane (8)
-    granularity — lanes are the last (head) dim."""
+    with block_q half the query axis and two batch*head slices per grid cell
+    when the score tiles fit VMEM. For the long-KV (online softmax) regime a
+    SINGLE whole-q block wins whenever the fp32 score tile + bf16 p tile fit
+    VMEM (decoder 1369x10952/hd48: 5.96 ms/layer vs 8.07 at block_q=512) —
+    block shapes equal to the array dim are always legal, so no q padding."""
     if nk <= 2048:
         bk = _ceil_to(nk, 128)
         if nq >= 1024:
@@ -56,11 +57,13 @@ def pick_blocks(nq: int, nk: int) -> tuple[int, int, int]:
         else:
             bq = _ceil_to(nq, 8)  # single q block, no padding waste
         bh = 2 if bq * bk * 8 <= 12 * 1024 * 1024 else 1  # 2 fp32 score tiles
-        import os
-
-        bh = int(os.environ.get("CROSSSCORE_FLASH_BLOCK_H", bh))  # tuning knob
         return bq, bk, bh
-    return (512 if nq >= 512 else _ceil_to(nq, 128)), 1024, 1
+    bk = 1024
+    if nq * bk * 6 <= 9_000_000:
+        bq = nq  # single whole-q block, no padding
+    else:
+        bq = 512 if nq >= 512 else _ceil_to(nq, 128)
+    return bq, bk, 1
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr, *,
@@ -399,6 +402,136 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
     return o, l, m
 
 
+def _bwd_kernel_single(bias_ref, q_ref, do_ref, k_ref, v_ref, lb_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                       c1: float, sm_scale: float):
+    """Flash-attention backward for the single-KV-block shape (the backbone's
+    1370-token self-attention — the training hot loop, reference
+    ``transformer.py:195-205``). Grid (B*H, Nq/bq) with the q axis sequential:
+    dq streams out per q block; dk/dv accumulate in fp32 scratch and are
+    written once at the last q block.
+
+    Score-tile passes: ONE fused exp2 recomputing p (the caller folds
+    1/l into ``lb = (m + ln l) * log2e`` and the padding mask into ``bias``),
+    one fused (dp - delta) * p * scale for ds, and the two bf16 casts feeding
+    the MXU. All five matmuls run bf16 x bf16 -> fp32.
+    """
+    qi = pl.program_id(1)
+    nqi = pl.num_programs(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    do = do_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    p = jnp.exp2(s * c1 - lb_ref[0] + bias_ref[0])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0]) * sm_scale
+    pb = p.astype(k.dtype)
+    dsb = ds.astype(k.dtype)
+
+    dq_ref[0] = jax.lax.dot(dsb, k, preferred_element_type=jnp.float32).astype(
+        dq_ref.dtype
+    )
+    dk_scr[...] += jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_scr[...] += jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == nqi - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def _bwd_pallas_single(q, k, v, o, do, l, m, block_q: int = 512):
+    """Single-KV-block Pallas backward.
+
+    q,k,v,o,do: (B,H,N,hd); l,m: (B,H,Nq). Returns (dq, dk, dv)."""
+    b, h, nq, hd = q.shape
+    nk = k.shape[2]
+    sm_scale = 1.0 / (hd ** 0.5)
+    bh = b * h
+    nq_p = _ceil_to(nq, block_q)
+    bk = _ceil_to(nk, 128)
+
+    def flat(x, n_to):
+        x = x.reshape(bh, *x.shape[2:])
+        return jnp.pad(x, ((0, 0), (0, n_to - x.shape[1]), (0, 0)))
+
+    qf = flat(q, nq_p)
+    dof = flat(do, nq_p)
+    kf = flat(k, bk)
+    vf = flat(v, bk)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    # lb: exp2-base log-normaliser; padded q rows get +big so their p == 0
+    # and they contribute nothing to the dk/dv accumulators
+    lb = ((m + jnp.log(l_safe)) * LOG2E).reshape(bh, nq)
+    lb = jnp.pad(lb, ((0, 0), (0, nq_p - nq)), constant_values=1e30)[..., None]
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta.reshape(bh, nq), ((0, 0), (0, nq_p - nq)))[..., None]
+    bias = jnp.where(jnp.arange(bk) < nk, 0.0, NEG_INF).astype(jnp.float32)
+    bias = bias.reshape(1, bk)
+
+    kernel = functools.partial(
+        _bwd_kernel_single, c1=sm_scale * LOG2E, sm_scale=sm_scale
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh, nq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, bk), lambda bh_, qi: (0, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda bh_, qi: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda bh_, qi: (bh_, qi, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh_, qi: (bh_, 0, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh_, qi: (bh_, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, qi: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh_, qi: (bh_, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh_, qi: (bh_, qi, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh_, qi: (bh_, 0, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh_, qi: (bh_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_p, hd), q.dtype),
+            jax.ShapeDtypeStruct((bh, bk, hd), k.dtype),
+            jax.ShapeDtypeStruct((bh, bk, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, hd), jnp.float32),
+            pltpu.VMEM((bk, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * nq_p * bk * hd,
+            bytes_accessed=bh * (4 * nq_p + 4 * bk) * hd * 2,
+            transcendentals=bh * nq_p * bk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(bias, qf, dof, kf, vf, lb, delta)
+
+    dq = dq.reshape(b, h, nq_p, hd)[:, :, :nq]
+    dk = dk.reshape(b, h, bk, hd)[:, :, :nk]
+    dv = dv.reshape(b, h, bk, hd)[:, :, :nk]
+    return dq, dk, dv
+
+
 def _bwd_xla(residuals, do, *, block_k: int):
     """Flash-style backward in plain XLA: scan over KV blocks, recomputing
     score tiles. Memory per step is O(Nq x block_k); the full score matrix is
@@ -682,7 +815,7 @@ def _fqsa_bwd(num_heads, block_q, hpack, residuals, do):
     q, k, v = _split_qkv(qkv, h)
     o_h = o.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
     do_h = do.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
-    dq, dk, dv = _bwd_xla((q, k, v, o_h, l, m), do_h, block_k=1024)
+    dq, dk, dv = _dispatch_bwd((q, k, v, o_h, l, m), do_h, 1024)
     dqkv = jnp.stack([dq, dk, dv], axis=0).transpose(1, 3, 0, 2, 4).reshape(b, n, 3 * d)
     return (dqkv,)
 
@@ -706,6 +839,15 @@ def flash_cross_attention(q, k, v, block_q: int = 512, block_k: int = 1024,
     return o
 
 
+def _dispatch_bwd(residuals, do, block_k: int):
+    """Pallas backward for the single-KV-block regime (backbone training hot
+    loop); flash-style XLA scan for long-KV shapes (decoder cross-attention)."""
+    q, k, v, o, l, m = residuals
+    if k.shape[2] <= 2048:
+        return _bwd_pallas_single(q, k, v, o, do, l, m)
+    return _bwd_xla(residuals, do, block_k=block_k)
+
+
 def _fca_fwd(q, k, v, block_q, block_k, block_h, variant):
     o, l, m = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
                          block_h=block_h, variant=variant)
@@ -713,7 +855,7 @@ def _fca_fwd(q, k, v, block_q, block_k, block_h, variant):
 
 
 def _fca_bwd(block_q, block_k, block_h, variant, residuals, do):
-    return _bwd_xla(residuals, do, block_k=block_k)
+    return _dispatch_bwd(residuals, do, block_k)
 
 
 flash_cross_attention.defvjp(_fca_fwd, _fca_bwd)

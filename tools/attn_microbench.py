@@ -24,8 +24,17 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 
 import numpy as np
 
-B, H, N, HD = 72, 6, 1370, 64
-LAYERS = 12
+import os
+
+# default: backbone self-attention at the bench point; DEC=1 switches to the
+# decoder cross-attention shape (B=8, H=8, 1369 q x 10952 kv, hd=48)
+if os.environ.get("ATTN_BENCH_DEC"):
+    B, H, N, NK, HD = 8, 8, 1369, 8 * 1369, 48
+    LAYERS = 4
+else:
+    B, H, N, HD = 72, 6, 1370, 64
+    NK = N
+LAYERS = int(os.environ.get("ATTN_BENCH_LAYERS", 12 if N == NK else 4))
 N_IT = 4
 
 
@@ -41,9 +50,9 @@ def main():
     specs = sys.argv[1:] or ["v1:688,1408,2", "v2:688,1408,2", "v2aug:688,1408,2"]
     rng = np.random.default_rng(0)
     q0 = jnp.asarray(rng.standard_normal((B, H, N, HD)), jnp.bfloat16)
-    k0 = jnp.asarray(rng.standard_normal((B, H, N, HD)), jnp.bfloat16)
-    v0 = jnp.asarray(rng.standard_normal((B, H, N, HD)), jnp.bfloat16)
-    flops_per_layer = 4 * B * H * N * N * HD
+    k0 = jnp.asarray(rng.standard_normal((B, H, NK, HD)), jnp.bfloat16)
+    v0 = jnp.asarray(rng.standard_normal((B, H, NK, HD)), jnp.bfloat16)
+    flops_per_layer = 4 * B * H * N * NK * HD
 
     ref_out = None
     for spec in specs:
@@ -58,13 +67,64 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
     import time
     if True:
         name, blocks = spec.split(":")
-        bq, bk, bh = (int(x) for x in blocks.split(","))
-        variant = {"v1": "v1", "v2": "v2", "v2noaug": "v2_noaug",
-                   "v2bf16": "v2_bf16", "v2noexp": "v2_noexp"}[name]
+        if name == "qkv":
+            # layout-native kernel: spec qkv:<block_q>,<hpack>. The loop
+            # carries (B, N, 3D) directly; the o->qkv tile between layers
+            # costs one ~0.5ms copy shared by all qkv specs (absent in the
+            # real model, where the qkv projection produces the layout).
+            from crossscore_tpu.ops.flash_attention import _flash_qkv_fwd
 
-        def attn(q, k, v, _variant=variant, _bq=bq, _bk=bk, _bh=bh):
-            return _flash_fwd(q, k, v, block_q=_bq, block_k=_bk, block_h=_bh,
-                              variant=_variant)[0]
+            bq, hp = (int(x) for x in blocks.split(","))
+            d3 = 3 * H * HD
+            qkv0 = jnp.concatenate(
+                [x.transpose(0, 2, 1, 3).reshape(B, N, H * HD) for x in (q0, k0, v0)],
+                axis=-1,
+            )
+
+            @jax.jit
+            def loop(qkv, _bq=bq, _hp=hp):
+                def body(i, cur):
+                    o = _flash_qkv_fwd(cur, H, block_q=_bq, hpack=_hp)[0]
+                    scale = 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
+                    return jnp.tile(o * scale, (1, 1, 3))
+
+                def layer_chain(i, cur):
+                    return jax.lax.fori_loop(0, LAYERS, body, cur)
+
+                out = jax.lax.fori_loop(0, N_IT, layer_chain, qkv)
+                return out[0, 0, 0].astype(jnp.float32)
+
+            out = _flash_qkv_fwd(qkv0, H, block_q=bq, hpack=hp)[0]
+            out = out.reshape(B, N, H, HD).transpose(0, 2, 1, 3)
+            out.block_until_ready()
+            diff = 0.0 if ref_out is None else float(
+                jnp.max(jnp.abs(out.astype(jnp.float32) - ref_out.astype(jnp.float32))))
+            if ref_out is None:
+                ref_out = out
+            t = time.perf_counter()
+            loop(qkv0 * jnp.bfloat16(0.5)).block_until_ready()
+            compile_s = time.perf_counter() - t
+            dts = []
+            for mult in (0.75, 1.0):
+                t0 = time.perf_counter()
+                loop(qkv0 * jnp.bfloat16(mult)).block_until_ready()
+                dts.append(time.perf_counter() - t0)
+            dt = max(dts)
+            ms_layer = dt / (N_IT * LAYERS) * 1e3
+            tflops = flops_per_layer / (ms_layer / 1e3) / 1e12
+            print(f"{spec:24s} {ms_layer:7.2f} ms/layer  {tflops:6.1f} TFLOP/s  "
+                  f"maxdiff={diff:.4f}  (compile {compile_s:.0f}s, "
+                  f"runs {dts[0]*1e3:.0f}/{dts[1]*1e3:.0f}ms, incl o->qkv tile)",
+                  flush=True)
+            return ref_out
+        else:
+            bq, bk, bh = (int(x) for x in blocks.split(","))
+            variant = {"v1": "v1", "v2": "v2", "v2noaug": "v2_noaug",
+                       "v2bf16": "v2_bf16", "v2noexp": "v2_noexp"}[name]
+
+            def attn(q, k, v, _variant=variant, _bq=bq, _bk=bk, _bh=bh):
+                return _flash_fwd(q, k, v, block_q=_bq, block_k=_bk, block_h=_bh,
+                                  variant=_variant)[0]
 
         # numerics check vs first spec (single call)
         out = attn(q0, k0, v0)
@@ -81,9 +141,10 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
             def body(i, carry):
                 qq, kk, vv = carry
                 o = _attn(qq, kk, vv)
-                # feed output back; tiny perturbation keeps values bounded
+                # feed output back as q; tiny perturbation keeps values bounded
+                # (k/v keep their shape — Nq != Nk for the decoder mode)
                 scale = 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
-                return (o * scale, kk, o)
+                return (o * scale, kk, vv)
 
             def layer_chain(i, carry):
                 return jax.lax.fori_loop(0, LAYERS, body, carry)

@@ -50,24 +50,36 @@ def main():
     )["params"]
     tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
     state = create_train_state(params, tx)
-    step = jax.jit(make_train_step(model, tx))
+    step_fn = make_train_step(model, tx)
 
-    # timed via repeated full steps (state carries the data dependency); the
-    # first two results are discarded (compile + relay memoisation hazard)
+    # in-graph loop of N steps with an iteration-dependent input perturbation
+    # (PERFORMANCE.md timing rules: per-dispatch timings are unreliable here)
+    @jax.jit
+    def loop(state, batch):
+        def body(i, st):
+            b2 = dict(batch)
+            b2["query/img"] = batch["query/img"] * (
+                1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
+            )
+            st, metrics = step_fn(st, b2)
+            return st
+        st = jax.lax.fori_loop(0, N_IT, body, state)
+        return st.step, st.params["head_fc2"]["kernel"][0, 0]
+
     t = time.perf_counter()
-    state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    print(f"compile+first step: {time.perf_counter()-t:.0f}s", flush=True)
+    jax.block_until_ready(loop(state, batch))
+    print(f"compile+warmup: {time.perf_counter()-t:.0f}s", flush=True)
     dts = []
-    for i in range(N_IT):
+    for mult in (0.75, 1.0):
+        b2 = dict(batch)
+        b2["query/img"] = batch["query/img"] * jnp.bfloat16(mult)
         t0 = time.perf_counter()
-        state, metrics = step(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready(loop(state, b2))
         dts.append(time.perf_counter() - t0)
+    dt = max(dts) / N_IT
     print(
-        f"train step B={batch_size} K={k} {hw}px: "
-        + " ".join(f"{d*1e3:.0f}ms" for d in dts)
-        + f"  (median {sorted(dts)[len(dts)//2]*1e3:.0f} ms)",
+        f"train step B={batch_size} K={k} {hw}px: {dt*1e3:.0f} ms/step "
+        f"(runs {dts[0]*1e3:.0f}/{dts[1]*1e3:.0f}ms over {N_IT} steps)",
         flush=True,
     )
 
