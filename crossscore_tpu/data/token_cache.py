@@ -1,0 +1,112 @@
+"""Reference-token cache: encode each reference image through the frozen
+backbone ONCE per predict run.
+
+The reference pipeline re-encodes every reference view for every query
+(reference ``task/core.py:119-161`` — 1+K ViT forwards per score map; K=8 in
+the demo config), although the backbone is frozen and reference sets overlap
+heavily across queries (``task/predict.py`` + ``simple_reference.py`` reuse
+one reference directory for ALL queries). A frozen backbone makes reference
+embeddings a pure function of the image file, so this cache turns predict
+into 1 ViT forward per map + a decoder pass once the cache is warm — an
+(1+K)x backbone-compute reduction, exact to the last bit (the tokens ARE the
+ones the fused path would compute, pinned by tests/test_token_cache.py).
+
+Design notes (TPU):
+- misses are encoded in fixed-size batches (padded on the last chunk) so the
+  encoder compiles ONE graph regardless of miss count.
+- tokens are kept host-side as (N_patch, D) bf16-as-uint16 numpy arrays
+  (~1 MB each at 518 px); the assembled (B, K, N, D) batch is device_put by
+  the caller's jitted step. LRU eviction bounds host RAM.
+- cache keys are (path, mtime, pixel-shape): a frozen backbone plus
+  deterministic predict-path cropping (CLAUDE.md host-RNG rules) make that
+  sufficient; mtime guards against files rewritten mid-run.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+
+
+class RefTokenCache:
+    def __init__(
+        self,
+        encode_fn: Callable[[np.ndarray], np.ndarray],
+        encode_batch: int = 16,
+        max_items: int = 2048,
+    ):
+        """:param encode_fn: jitted ``(B, H, W, 3) -> (B, N_patch, D)`` frozen
+            backbone (``models.crossscore.make_backbone_encoder``).
+        :param encode_batch: fixed miss-encoding batch (one compiled graph).
+        :param max_items: LRU bound (~1 MB/item at 518 px, D=384)."""
+        self._encode = encode_fn
+        self._batch = int(encode_batch)
+        self._max = int(max_items)
+        self._cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _key(path: str, img: np.ndarray) -> tuple:
+        try:
+            mtime = Path(path).stat().st_mtime_ns
+        except OSError:
+            mtime = 0
+        return (path, mtime, img.shape)
+
+    def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray) -> np.ndarray:
+        """:param ref_paths: per-view path lists ``[k][b]`` (the collated
+            ``batch["item_paths"]["reference/cross/imgs"]`` layout).
+        :param ref_imgs: (B, K, H, W, 3) normalised pixels (host numpy).
+        :return: (B, K, N_patch, D) tokens, dtype = encode_fn's output."""
+        b, k = ref_imgs.shape[:2]
+        keys = [[self._key(ref_paths[kk][bb], ref_imgs[bb, kk])
+                 for kk in range(k)] for bb in range(b)]
+
+        # unique misses, first-occurrence order
+        miss: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        for bb in range(b):
+            for kk in range(k):
+                key = keys[bb][kk]
+                if key not in self._cache and key not in miss:
+                    miss[key] = ref_imgs[bb, kk]
+        self.hits += b * k - sum(
+            1 for bb in range(b) for kk in range(k) if keys[bb][kk] in miss
+        )
+        self.misses += len(miss)
+
+        if miss:
+            miss_keys = list(miss.keys())
+            imgs = np.stack(list(miss.values()))
+            for i0 in range(0, len(miss_keys), self._batch):
+                chunk = imgs[i0:i0 + self._batch]
+                n_valid = len(chunk)
+                if n_valid < self._batch:  # pad to the fixed graph shape
+                    pad = np.broadcast_to(
+                        chunk[-1:], (self._batch - n_valid, *chunk.shape[1:])
+                    )
+                    chunk = np.concatenate([chunk, pad])
+                tokens = np.asarray(self._encode(chunk))
+                for j in range(n_valid):
+                    self._put(miss_keys[i0 + j], tokens[j])
+
+        out = np.stack(
+            [np.stack([self._get(keys[bb][kk]) for kk in range(k)]) for bb in range(b)]
+        )
+        return out
+
+    def _put(self, key: tuple, tokens: np.ndarray) -> None:
+        self._cache[key] = tokens
+        self._cache.move_to_end(key)
+        while len(self._cache) > self._max:
+            self._cache.popitem(last=False)
+
+    def _get(self, key: tuple) -> np.ndarray:
+        self._cache.move_to_end(key)
+        return self._cache[key]
+
+    def __len__(self) -> int:
+        return len(self._cache)

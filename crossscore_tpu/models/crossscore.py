@@ -53,6 +53,7 @@ class CrossScoreConfig:
     attention_impl: str = "xla"  # xla | pallas
     remat_backbone: bool = False
     backbone_quant: str = "none"  # none | int8 (W8A8 on the int8 MXU path)
+    mlp_impl: str = "xla"  # xla | fused (Pallas LN+fc1+gelu+fc2+residual)
 
     @staticmethod
     def from_config(cfg) -> "CrossScoreConfig":
@@ -62,6 +63,9 @@ class CrossScoreConfig:
         impl = m.tpu.attention_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        mlp_impl = str(m.tpu.get("mlp_impl", "auto"))
+        if mlp_impl == "auto":
+            mlp_impl = "fused" if jax.default_backend() not in ("cpu",) else "xla"
         return CrossScoreConfig(
             backbone=VIT_PRESETS[preset],
             patch_size=m.patch_size,
@@ -81,6 +85,7 @@ class CrossScoreConfig:
             attention_impl=impl,
             remat_backbone=m.tpu.remat_backbone,
             backbone_quant=str(m.tpu.get("backbone_quant", "none")),
+            mlp_impl=mlp_impl,
         )
 
 
@@ -96,6 +101,7 @@ class CrossScoreNet(nn.Module):
         need_attn_weights_head_id: int = 0,
         norm_img: bool = False,
         valid_hw=None,
+        ref_tokens: Optional[jnp.ndarray] = None,
     ) -> dict:
         """
         :param query_img: (B, H, W, 3) ImageNet-normalised (or [0,1] raw with
@@ -109,6 +115,13 @@ class CrossScoreNet(nn.Module):
             the bucket (the reference recompiles per aspect ratio,
             ``task/predict.py:69-93``). The returned score map stays
             bucket-sized; callers crop host-side.
+        :param ref_tokens: optional precomputed reference backbone tokens
+            (B, K, N_patch, D) — the cached-reference serving path: the frozen
+            backbone makes reference embeddings deterministic per image, so a
+            predict run re-encodes only the query (1 ViT forward per map
+            instead of the reference's 1+K, ``task/core.py:119-161``).
+            Mutually exclusive with ``ref_imgs``. Produced by
+            :func:`encode_backbone_tokens` / ``data/token_cache.py``.
         :return: dict with ``score_map_ref_cross`` (B, H, W) and optionally
                  ``attn_weights_map_ref_cross`` (B, gh, gw, K, gh, gw)
         """
@@ -133,11 +146,17 @@ class CrossScoreNet(nn.Module):
         dt = c.compute_dtype
 
         # --- frozen backbone over all (1+K) views in one batched call ---
-        k_ref = 0 if ref_imgs is None else ref_imgs.shape[1]
-        all_imgs = query_img[:, None]
-        if ref_imgs is not None:
-            all_imgs = jnp.concatenate([all_imgs, ref_imgs], axis=1)
-        all_imgs = all_imgs.reshape(b * (1 + k_ref), hgt, wdt, 3)
+        if ref_tokens is not None and ref_imgs is not None:
+            raise ValueError("pass ref_imgs or ref_tokens, not both")
+        if ref_tokens is not None:
+            k_ref = ref_tokens.shape[1]
+            all_imgs = query_img  # only the query needs encoding
+        else:
+            k_ref = 0 if ref_imgs is None else ref_imgs.shape[1]
+            all_imgs = query_img[:, None]
+            if ref_imgs is not None:
+                all_imgs = jnp.concatenate([all_imgs, ref_imgs], axis=1)
+            all_imgs = all_imgs.reshape(b * (1 + k_ref), hgt, wdt, 3)
 
         valid_grid = None
         tok_bias = None
@@ -159,17 +178,23 @@ class CrossScoreNet(nn.Module):
             remat=c.remat_backbone,
             attention_impl=backbone_impl,
             quant=c.backbone_quant,
+            mlp_impl=c.mlp_impl,
             name="backbone",
         )(all_imgs, valid_grid)
         tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone
-        tokens = tokens.reshape(b, 1 + k_ref, n_patch, d)
+        if ref_tokens is not None:
+            tokens = jnp.concatenate(
+                [tokens.reshape(b, 1, n_patch, d), ref_tokens.astype(dt)], axis=1
+            )
+        else:
+            tokens = tokens.reshape(b, 1 + k_ref, n_patch, d)
 
         pos_enc = MultiViewPositionalEmbedding(c.pe_h, c.pe_w, d, dtype=dt, name="pos_enc")
 
         feat_query = pos_enc(tokens[:, 0], 1, gh, gw, valid_grid)
 
         results: dict = {}
-        if c.do_reference_cross and ref_imgs is not None:
+        if c.do_reference_cross and k_ref > 0:
             feat_ref = tokens[:, 1:].reshape(b, k_ref * n_patch, d)
             feat_ref = pos_enc(feat_ref, k_ref, gh, gw, valid_grid)
 
@@ -211,6 +236,31 @@ class CrossScoreNet(nn.Module):
                     b, gh, gw, k_ref, gh, gw
                 )
         return results
+
+
+def make_backbone_encoder(cfg: CrossScoreConfig):
+    """Returns ``encode(params, imgs) -> (B, N_patch, D)`` running ONLY the
+    frozen backbone (CLS stripped), with the same impl knobs as the full net —
+    the producer side of the cached-reference serving path (the consumer is
+    ``CrossScoreNet(..., ref_tokens=...)``). ``params`` is the FULL model
+    param tree; the backbone subtree is selected here."""
+    backbone_impl = (
+        "pallas" if cfg.attention_impl.startswith("cp:") else cfg.attention_impl
+    )
+    enc = Dinov2Encoder(
+        cfg.backbone,
+        dtype=cfg.compute_dtype,
+        remat=False,
+        attention_impl=backbone_impl,
+        quant=cfg.backbone_quant,
+        mlp_impl=cfg.mlp_impl,
+    )
+
+    def encode(params, imgs):
+        tokens = enc.apply({"params": params["backbone"]}, imgs)
+        return jax.lax.stop_gradient(tokens[:, 1:])
+
+    return encode
 
 
 def trainable_mask(params: dict, pe_trainable: bool = False) -> dict:

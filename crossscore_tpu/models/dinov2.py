@@ -149,11 +149,36 @@ class ViTAttention(nn.Module):
         return make_dense(self.quant, d, self.dtype, "out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel/bias, same initializers)
+    without running the matmul — the fused-MLP kernel consumes them raw while
+    the param tree (and torch-checkpoint conversion) stays identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
+
+
 class ViTBlock(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
     quant: str = "none"
+    mlp_impl: str = "xla"  # xla | fused (one Pallas LN+fc1+gelu+fc2+residual)
 
     @nn.compact
     def __call__(self, x, kv_bias=None):
@@ -168,6 +193,14 @@ class ViTBlock(nn.Module):
             y, kv_bias
         )
         x = x + y * ls1.astype(x.dtype)
+
+        if self.mlp_impl == "fused" and self.quant == "none":
+            from crossscore_tpu.ops.fused_mlp import fused_ln_mlp
+
+            lns, lnb = _LayerNormParams(name="ln2")(c.hidden_size)
+            w1, b1 = _DenseParams(c.mlp_ratio * c.hidden_size, name="fc1")(c.hidden_size)
+            w2, b2 = _DenseParams(c.hidden_size, name="fc2")(c.mlp_ratio * c.hidden_size)
+            return fused_ln_mlp(x, lns, lnb, w1, b1, w2, b2, ls2, c.layer_norm_eps)
 
         y = LayerNorm(c.layer_norm_eps, name="ln2")(x)
         y = make_dense(self.quant, c.mlp_ratio * c.hidden_size, self.dtype, "fc1")(y)
@@ -189,6 +222,7 @@ class Dinov2Encoder(nn.Module):
     remat: bool = False
     attention_impl: str = "xla"
     quant: str = "none"
+    mlp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, valid_grid=None) -> jnp.ndarray:
@@ -254,6 +288,6 @@ class Dinov2Encoder(nn.Module):
             block_cls = nn.remat(ViTBlock)
         for i in range(c.num_layers):
             x = block_cls(c, self.dtype, self.attention_impl, self.quant,
-                          name=f"block_{i}")(x, kv_bias)
+                          self.mlp_impl, name=f"block_{i}")(x, kv_bias)
 
         return LayerNorm(c.layer_norm_eps, name="final_ln")(x)

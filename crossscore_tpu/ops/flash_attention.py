@@ -661,6 +661,98 @@ def _fwd_kernel_qkv_biased(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *
         m_ref[0, j] = (m * (1.0 / LOG2E)).astype(m_ref.dtype)
 
 
+def _fwd_kernel_qkv_probe(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
+                          sm_scale: float, hd: int, hpack: int, probe: str):
+    """TIMING PROBES ONLY (wrong math): isolate the cost of each pass of
+    ``_fwd_kernel_qkv`` by deleting it. ``probe`` deletes: "nomax" (constant
+    shift instead of rowmax), "nosum" (skip the VPU row-sum/normalise),
+    "mxu" (QK -> cast -> PV only). Numbers go to PERFORMANCE.md."""
+    c1 = sm_scale * LOG2E
+    for j in range(hpack):
+        q = q_ref[0][:, j * hd:(j + 1) * hd]
+        k = k_ref[0][:, j * hd:(j + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if probe == "mxu":
+            p = s.astype(v_ref.dtype)
+            l = m = None
+        elif probe == "nomax":
+            p = jnp.exp2(s * c1 - 8.0).astype(v_ref.dtype)
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+            m = l
+        elif probe == "nosum":
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2((s - m) * c1).astype(v_ref.dtype)
+            l = m
+        else:
+            raise ValueError(probe)
+        v = v_ref[0][:, j * hd:(j + 1) * hd]
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        if probe != "mxu":
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o = o * l_inv
+        o_ref[0, :, j * hd:(j + 1) * hd] = o.astype(o_ref.dtype)
+        if l is None:
+            l_ref[0, j] = jnp.zeros_like(l_ref[0, j])
+            m_ref[0, j] = jnp.zeros_like(m_ref[0, j])
+        else:
+            l_ref[0, j] = l.astype(l_ref.dtype)
+            m_ref[0, j] = (m * sm_scale).astype(m_ref.dtype)
+
+
+def _fwd_kernel_qkv_chunked(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
+                            sm_scale: float, hd: int, hpack: int,
+                            n_chunks: int):
+    """Layout-native kernel with the KV axis split into ``n_chunks`` in-VMEM
+    chunks combined by an exact online softmax. Same math as
+    ``_fwd_kernel_qkv``; the point is SCHEDULING: chunk c+1's QK matmul has no
+    data dependency on chunk c's softmax, so the static scheduler can overlap
+    MXU and VPU work that the single-chunk kernel serialises. Chunk
+    boundaries are 128-aligned (lane-tile aligned slices of the KV token
+    axis). A/B'd in tools/attn_microbench.py (qkvc specs)."""
+    c1 = sm_scale * LOG2E
+    n = k_ref.shape[1]
+    bounds = [0]
+    step = _ceil_to(pl.cdiv(n, n_chunks), 128)
+    while bounds[-1] + step < n:
+        bounds.append(bounds[-1] + step)
+    bounds.append(n)
+    for j in range(hpack):
+        q = q_ref[0][:, j * hd:(j + 1) * hd]
+        m_run = None
+        l_run = None
+        acc = None
+        for c0, c1_ in zip(bounds[:-1], bounds[1:]):
+            k = k_ref[0][c0:c1_, j * hd:(j + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            v = v_ref[0][c0:c1_, j * hd:(j + 1) * hd]
+            m_c = jnp.max(s, axis=1, keepdims=True)
+            if m_run is None:
+                m_run = m_c
+                p = jnp.exp2((s - m_run) * c1).astype(v_ref.dtype)
+                l_run = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+                acc = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+            else:
+                m_new = jnp.maximum(m_run, m_c)
+                alpha = jnp.exp2((m_run - m_new) * c1)
+                p = jnp.exp2((s - m_new) * c1).astype(v_ref.dtype)
+                l_run = l_run * alpha + jnp.sum(
+                    p.astype(jnp.float32), axis=1, keepdims=True
+                )
+                acc = acc * alpha + jax.lax.dot(
+                    p, v, preferred_element_type=jnp.float32
+                )
+                m_run = m_new
+        l_inv = jnp.where(l_run == 0.0, 1.0, 1.0 / l_run)
+        o_ref[0, :, j * hd:(j + 1) * hd] = (acc * l_inv).astype(o_ref.dtype)
+        l_ref[0, j] = l_run.astype(l_ref.dtype)
+        m_ref[0, j] = (m_run * sm_scale).astype(m_ref.dtype)
+
+
 def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
                     sm_scale: float, hd: int, hpack: int):
     """Layout-native self-attention kernel: q/k/v refs are LANE-SLICED VIEWS of
@@ -694,9 +786,10 @@ def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
         m_ref[0, j] = (m * sm_scale).astype(m_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "hpack"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "hpack",
+                                             "probe", "chunks"))
 def _flash_qkv_fwd(qkv, num_heads: int, block_q: int = 0, hpack: int = 2,
-                   kv_bias=None):
+                   kv_bias=None, probe: str = "", chunks: int = 1):
     """qkv: (B, N, 3*D) fused projection output -> (o (B,N,D), l, m (B,H,N)).
 
     ``kv_bias``: optional (N,) additive logits bias over the token axis
@@ -724,7 +817,19 @@ def _flash_qkv_fwd(qkv, num_heads: int, block_q: int = 0, hpack: int = 2,
         pl.BlockSpec((1, n, lane_blk), lambda b_, p, qi: (b_, 0, 2 * nlb + p)),
     ]
     inputs = (qkv, qkv, qkv)
-    if kv_bias is None:
+    if probe:
+        kernel = functools.partial(
+            _fwd_kernel_qkv_probe, sm_scale=sm_scale, hd=hd, hpack=hpack,
+            probe=probe,
+        )
+    elif chunks > 1:
+        if kv_bias is not None:
+            raise NotImplementedError("chunked kernel has no masked variant")
+        kernel = functools.partial(
+            _fwd_kernel_qkv_chunked, sm_scale=sm_scale, hd=hd, hpack=hpack,
+            n_chunks=chunks,
+        )
+    elif kv_bias is None:
         kernel = functools.partial(
             _fwd_kernel_qkv, sm_scale=sm_scale, hd=hd, hpack=hpack
         )

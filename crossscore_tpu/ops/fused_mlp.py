@@ -1,0 +1,158 @@
+"""Fused LayerNorm -> fc1 -> exact GELU -> fc2 -> LayerScale -> residual.
+
+One Pallas kernel computes the entire second half of a ViT block
+(reference ``Dinov2Layer``: HF ``modeling_dinov2.py`` mlp+layerscale2, mirrored
+at ``crossscore_tpu/models/dinov2.py::ViTBlock``):
+
+    out = x + ls2 * ( gelu( ln(x) @ W1 + b1 ) @ W2 + b2 )
+
+Why a kernel: the unfused graph makes four full HBM round-trips over
+(B*N, 4D)-sized intermediates per layer — the LN output, the fc1 output, the
+GELU output, and the fc2 output — plus re-reads ``x`` for the residual. At the
+bench point (72 views x 1370 tokens x D=384) that is ~0.7-1 ms/layer of pure
+bandwidth (tools/model_breakdown.py). Here a row block of ``x`` is read ONCE,
+both weight matrices stay resident in VMEM across the whole grid (W1+W2 at
+D=384 are ~2.4 MB bf16, constant index maps so Mosaic never re-DMAs them), and
+only the final residual-added block is written back.
+
+Numerics match the unfused path: LN statistics in fp32, matmuls bf16 x bf16
+with fp32 accumulation (``preferred_element_type``), exact (erf-based) GELU in
+fp32, LayerScale+residual in fp32. The backward pass recomputes through the
+plain-XLA reference expression (the backbone is frozen behind
+``stop_gradient`` in production — reference ``task/core.py:119`` — so this
+VJP exists for correctness, not speed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+# XLA's f32 erf rational approximation (xla/client/lib/math.cc ErfImpl32):
+# erf(x) = clamp(x, -4, 4) * P_alpha(x^2) / P_beta(x^2). Mosaic has no erf
+# lowering, so the kernel evaluates the same polynomial XLA does — the fused
+# GELU matches jax.lax.erf-based GELU to ~1 ulp (pinned in tests).
+_ERF_ALPHA = (0.00022905065861350646, 0.0034082910107109506,
+              0.050955695062380861, 0.18520832239976145, 1.128379143519084)
+_ERF_BETA = (-1.1791602954361697e-7, 2.3547966471313185e-5,
+             1.0179625278914885e-3, 1.4070470171167667e-2,
+             1.1098505178285362e-1, 4.9746925110067538e-1, 1.0)
+
+
+def _erf_f32(x):
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = jnp.float32(_ERF_ALPHA[0])
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + jnp.float32(c)
+    q = jnp.float32(_ERF_BETA[0])
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + jnp.float32(c)
+    return x * p / q
+
+
+def _ln_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   ls2_ref, o_ref, *, eps: float):
+    x = x_ref[...]  # (bm, D) compute dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+
+    h = jax.lax.dot(y.astype(x.dtype), w1_ref[...],
+                    preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    # exact GELU (HF Dinov2 uses gelu, not tanh-approx): 0.5*h*(1+erf(h/sqrt2))
+    h = 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
+
+    o = jax.lax.dot(h.astype(x.dtype), w2_ref[...],
+                    preferred_element_type=jnp.float32)
+    o = (o + b2_ref[...].astype(jnp.float32)) * ls2_ref[...].astype(jnp.float32)
+    o_ref[...] = (xf + o).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_m"))
+def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
+                             eps: float = 1e-6, block_m: int = 512):
+    b, n, d = x.shape
+    f = w1.shape[1]
+    m = b * n
+    xr = x.reshape(m, d)
+    dt = x.dtype
+
+    row = lambda v: v.reshape(1, -1).astype(dt)
+    grid = (pl.cdiv(m, block_m),)
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((d, f), const),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((f, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, d), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * f,
+            bytes_accessed=2 * m * d * 2 + (2 * d * f) * 2,
+            transcendentals=m * f,
+        ),
+        compiler_params=None,
+        interpret=jax.default_backend() == "cpu",
+    )(xr, row(ln_scale), row(ln_bias), w1.astype(dt), row(b1), w2.astype(dt),
+      row(b2), row(ls2))
+    return out.reshape(b, n, d)
+
+
+def _reference_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps):
+    """The unfused expression the kernel must match (and the VJP recompute
+    path). Mirrors ``models/dinov2.py::ViTBlock`` lines ln2..ls2."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)).astype(dt)
+    h = jax.lax.dot_general(y, w1.astype(dt), (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1.astype(jnp.float32)
+    h = 0.5 * h * (1.0 + jax.lax.erf(h * 0.7071067811865476))
+    o = jax.lax.dot_general(h.astype(dt), w2.astype(dt), (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = (o + b2.astype(jnp.float32)) * ls2.astype(jnp.float32)
+    return (xf + o).astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps: float = 1e-6):
+    """``x + ls2 * fc2(gelu(fc1(ln(x))))`` as one Pallas kernel.
+
+    x: (B, N, D); w1: (D, F); w2: (F, D); vectors are (D,)/(F,). Differentiable
+    w.r.t. every array argument (backward recomputes via plain XLA)."""
+    return _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
+                                    eps=eps)
+
+
+def _flm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps):
+    out = _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
+                                   eps=eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, ls2)
+
+
+def _flm_bwd(eps, residuals, g):
+    _, vjp = jax.vjp(lambda *a: _reference_xla(*a, eps), *residuals)
+    return vjp(g)
+
+
+fused_ln_mlp.defvjp(_flm_fwd, _flm_bwd)

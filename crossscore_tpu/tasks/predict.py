@@ -92,6 +92,20 @@ def predict(cfg) -> Path:
         and (vp_mode == "on" or len(data_mesh.devices.reshape(-1)) < n_dev)
     )
     mesh = make_mesh() if use_vp else data_mesh
+
+    # cached-reference serving (this_main.ref_token_cache: auto|on|off): the
+    # frozen backbone encodes each reference image ONCE per run; queries cost
+    # 1 ViT forward instead of 1+K (reference re-encodes refs per query,
+    # task/core.py:119-161). Exact — pinned by tests/test_token_cache.py.
+    cache_mode = str(cfg.this_main.get("ref_token_cache", "auto"))
+    use_cache = (
+        cache_mode != "off"
+        and not use_vp
+        and not use_buckets
+        and not cfg.model.need_attn_weights
+        and k_refs > 0
+        and not cfg.data.dataset.zero_reference
+    )
     if use_vp:
         print(f"view-parallel predict: K={k_refs} refs sharded over {n_dev} devices")
     loader_kw = dict(
@@ -99,7 +113,10 @@ def predict(cfg) -> Path:
         num_workers=cfg.data.loader.validation.num_workers,
         prefetch_batches=cfg.data.loader.validation.prefetch_factor,
         seed=cfg.seed,
-        sharding=replicated(mesh) if use_vp else batch_sharding(mesh),
+        # with the token cache the batch stays host-side: ref pixels never
+        # reach the device (tokens do), the jitted step transfers the rest
+        sharding=None if use_cache
+        else (replicated(mesh) if use_vp else batch_sharding(mesh)),
     )
     if use_buckets:
         from crossscore_tpu.data.bucketing import ShapeBucketedLoader
@@ -147,6 +164,24 @@ def predict(cfg) -> Path:
         def step(params, query, refs):
             return {"score_map_ref_cross": vp_fn(params, query, refs)}
 
+    elif use_cache:
+        from crossscore_tpu.data.token_cache import RefTokenCache
+        from crossscore_tpu.models.crossscore import make_backbone_encoder
+        from crossscore_tpu.train.step import make_predict_step_cached
+
+        encode = jax.jit(make_backbone_encoder(mcfg))
+        token_cache = RefTokenCache(
+            lambda imgs: encode(params, imgs),
+            encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
+            max_items=int(cfg.this_main.get("ref_token_cache_max_items", 2048)),
+        )
+        step_cached = jax.jit(make_predict_step_cached(model))
+        print("reference-token cache: on (frozen backbone, exact)")
+
+        def step(params, query, refs, _batch_paths=None):
+            tokens = token_cache.gather(_batch_paths, refs)
+            return step_cached(params, query, tokens)
+
     else:
         step = jax.jit(
             make_predict_step(
@@ -190,6 +225,13 @@ def predict(cfg) -> Path:
                 batch["query/img"],
                 batch.get("reference/cross/imgs"),
                 batch["_valid_hw"],
+            )
+        elif use_cache:
+            outputs_dev = step(
+                params,
+                batch["query/img"],
+                batch["reference/cross/imgs"],
+                _batch_paths=batch["item_paths"]["reference/cross/imgs"],
             )
         else:
             outputs_dev = step(params, batch["query/img"], batch.get("reference/cross/imgs"))

@@ -140,3 +140,16 @@ def make_predict_step(model: CrossScoreNet, need_attn_weights: bool = False, hea
         )
 
     return predict_step
+
+
+def make_predict_step_cached(model: CrossScoreNet):
+    """Predict step consuming precomputed reference tokens (the
+    cached-reference serving path, ``data/token_cache.py``): only the query
+    goes through the frozen backbone."""
+
+    def predict_step(params, query_img, ref_tokens):
+        return model.apply(
+            {"params": params}, query_img, None, ref_tokens=ref_tokens
+        )
+
+    return predict_step

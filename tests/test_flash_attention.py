@@ -86,3 +86,48 @@ class TestBlockH:
         ours = flash_cross_attention(q, k, v, 128, 128, 2)
         expected = dense_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(expected), atol=2e-5)
+
+
+class TestLayoutNativeQkv:
+    """The layout-native kernel consuming the fused (B, N, 3D) projection
+    output (ops/flash_attention.py::_flash_qkv_fwd) and its chunked variant."""
+
+    def _qkv_inputs(self, rng, b=2, h=2, n=70, hd=64):
+        d = h * hd
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)).astype(np.float32))
+        q, k, v = (
+            qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)[i] for i in range(3)
+        )
+        return qkv, q, k, v
+
+    @pytest.mark.parametrize("chunks", [1, 2, 3])
+    def test_matches_dense(self, rng, chunks):
+        from crossscore_tpu.ops.flash_attention import _flash_qkv_fwd
+
+        qkv, q, k, v = self._qkv_inputs(rng)
+        o, _, _ = _flash_qkv_fwd(qkv, 2, block_q=32, hpack=2, chunks=chunks)
+        expected = dense_attention(q, k, v)  # (B, H, N, hd)
+        b, h, n, hd = expected.shape
+        expected = expected.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(expected), atol=2e-5)
+
+    def test_custom_vjp_matches_dense_grads(self, rng):
+        from crossscore_tpu.ops.flash_attention import flash_qkv_self_attention
+
+        qkv, q, k, v = self._qkv_inputs(rng, b=1, n=40)
+
+        def loss_fused(x):
+            return jnp.sum(jnp.square(flash_qkv_self_attention(x, 2, 0, 2)))
+
+        def loss_dense(x):
+            b, n, d3 = x.shape
+            qq, kk, vv = (
+                x.reshape(b, n, 3, 2, d3 // 6).transpose(2, 0, 3, 1, 4)[i]
+                for i in range(3)
+            )
+            o = dense_attention(qq, kk, vv)
+            return jnp.sum(jnp.square(o))
+
+        g_f = jax.grad(loss_fused)(qkv)
+        g_d = jax.grad(loss_dense)(qkv)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_d), atol=5e-4)

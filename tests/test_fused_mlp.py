@@ -1,0 +1,81 @@
+"""Parity tests for the fused LN+MLP+residual Pallas kernel (ops/fused_mlp.py)
+against the unfused XLA expression used by ``ViTBlock`` (models/dinov2.py).
+Runs in Pallas interpret mode on CPU (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crossscore_tpu.models.dinov2 import Dinov2Encoder, ViTConfig
+from crossscore_tpu.ops.fused_mlp import _reference_xla, fused_ln_mlp
+
+
+def _make_args(rng, b=2, n=37, d=64, f=256, dtype=jnp.float32):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)
+    x = r(b, n, d) * 0.5
+    ln_s = 1.0 + 0.1 * r(d)
+    ln_b = 0.1 * r(d)
+    w1 = r(d, f) * (d ** -0.5)
+    b1 = 0.1 * r(f)
+    w2 = r(f, d) * (f ** -0.5)
+    b2 = 0.1 * r(d)
+    ls2 = 1.0 + 0.05 * r(d)
+    return x, ln_s, ln_b, w1, b1, w2, b2, ls2
+
+
+class TestFusedLnMlp:
+    def test_matches_unfused_fp32(self, rng):
+        args = _make_args(rng)
+        got = fused_ln_mlp(*args)
+        want = _reference_xla(*args, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5)
+
+    def test_matches_unfused_bf16(self, rng):
+        args = _make_args(rng, dtype=jnp.bfloat16)
+        got = fused_ln_mlp(*args).astype(jnp.float32)
+        want = _reference_xla(*args, 1e-6).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=3e-2)
+
+    def test_partial_edge_block(self, rng):
+        # rows not a multiple of block_m: the masked edge block must not leak
+        args = _make_args(rng, b=1, n=13)
+        got = fused_ln_mlp(*args)
+        want = _reference_xla(*args, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5)
+
+    def test_gradients_match_reference(self, rng):
+        args = _make_args(rng, b=1, n=16, d=32, f=64)
+
+        def loss_fused(*a):
+            return jnp.sum(jnp.square(fused_ln_mlp(*a)))
+
+        def loss_ref(*a):
+            return jnp.sum(jnp.square(_reference_xla(*a, 1e-6)))
+
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+        for gf, gr in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       rtol=1e-4, atol=1e-4)
+
+
+class TestEncoderMlpImpl:
+    @pytest.mark.parametrize("dtype", [jnp.float32])
+    def test_encoder_fused_equals_xla_same_params(self, rng, dtype):
+        """The fused path consumes the SAME param tree (ln2/fc1/fc2/ls2 names
+        and shapes) and produces the same tokens."""
+        cfg = ViTConfig(hidden_size=64, num_layers=2, num_heads=4, image_size=56)
+        imgs = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), dtype)
+        enc_xla = Dinov2Encoder(cfg, dtype=dtype, mlp_impl="xla")
+        enc_fused = Dinov2Encoder(cfg, dtype=dtype, mlp_impl="fused")
+        params = enc_xla.init(jax.random.PRNGKey(0), imgs)["params"]
+        params_f = enc_fused.init(jax.random.PRNGKey(0), imgs)["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(params_f)
+        out_xla = enc_xla.apply({"params": params}, imgs)
+        out_fused = enc_fused.apply({"params": params}, imgs)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                                   rtol=0, atol=2e-5)

@@ -1,0 +1,152 @@
+"""Cached-reference serving path: RefTokenCache unit tests, model-level
+exactness of the ``ref_tokens`` input, and an e2e predict run asserting the
+cache produces identical outputs to the uncached path."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crossscore_tpu.data.token_cache import RefTokenCache
+
+
+def _fake_encoder(counter):
+    """(B, H, W, 3) -> (B, 4, 2) tokens derived from the pixel sum; counts
+    encode-batch calls."""
+
+    def encode(imgs):
+        counter["calls"] += 1
+        counter["images"] += imgs.shape[0]
+        s = imgs.reshape(imgs.shape[0], -1).sum(axis=1)
+        return np.tile(s[:, None, None], (1, 4, 2)).astype(np.float32)
+
+    return encode
+
+
+class TestRefTokenCache:
+    def _mk(self, tmp_path, n):
+        paths = []
+        for i in range(n):
+            p = tmp_path / f"ref_{i}.png"
+            p.write_bytes(b"x")
+            paths.append(str(p))
+        return paths
+
+    def test_dedup_within_batch_and_across_calls(self, tmp_path, rng):
+        counter = {"calls": 0, "images": 0}
+        cache = RefTokenCache(_fake_encoder(counter), encode_batch=4)
+        paths = self._mk(tmp_path, 3)
+        imgs = rng.standard_normal((2, 2, 8, 8, 3)).astype(np.float32)
+        # batch uses refs [0,1] and [1,2]: 3 unique among 4 slots
+        imgs[0, 1] = imgs[1, 0]
+        ref_paths = [[paths[0], paths[1]], [paths[1], paths[2]]]  # [k][b] layout
+        ref_paths = [list(col) for col in zip(*ref_paths)]  # -> [k][b]
+        out = cache.gather(ref_paths, imgs)
+        assert out.shape == (2, 2, 4, 2)
+        assert counter["calls"] == 1  # 3 misses pad to one 4-batch
+        # exactness: each slot equals the fake encoding of its own pixels
+        for bb in range(2):
+            for kk in range(2):
+                expect = imgs[bb, kk].sum()
+                np.testing.assert_allclose(out[bb, kk, 0, 0], expect, rtol=1e-6)
+        # second gather: all hits, no new encode calls
+        cache.gather(ref_paths, imgs)
+        assert counter["calls"] == 1
+
+    def test_chunking_pads_to_fixed_graph(self, tmp_path, rng):
+        counter = {"calls": 0, "images": 0}
+        cache = RefTokenCache(_fake_encoder(counter), encode_batch=2)
+        paths = self._mk(tmp_path, 5)
+        imgs = rng.standard_normal((1, 5, 4, 4, 3)).astype(np.float32)
+        ref_paths = [[paths[k]] for k in range(5)]
+        cache.gather(ref_paths, imgs)
+        assert counter["calls"] == 3  # 5 misses -> chunks of 2 (last padded)
+        assert counter["images"] == 6  # every chunk at the fixed batch size
+
+    def test_lru_eviction(self, tmp_path, rng):
+        counter = {"calls": 0, "images": 0}
+        cache = RefTokenCache(_fake_encoder(counter), encode_batch=1, max_items=2)
+        paths = self._mk(tmp_path, 3)
+        imgs = rng.standard_normal((1, 1, 4, 4, 3)).astype(np.float32)
+        for k in range(3):
+            cache.gather([[paths[k]]], imgs)
+        assert len(cache) == 2
+        cache.gather([[paths[0]]], imgs)  # evicted -> re-encoded
+        assert counter["calls"] == 4
+
+
+class TestModelRefTokens:
+    def test_ref_tokens_equals_ref_imgs(self, rng):
+        """CrossScoreNet(query, ref_tokens=encode(refs)) must equal
+        CrossScoreNet(query, refs) exactly (the backbone is frozen and
+        deterministic — reference task/core.py:119-161)."""
+        from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+        from crossscore_tpu.models.crossscore import make_backbone_encoder
+        from crossscore_tpu.models.dinov2 import VIT_PRESETS
+
+        cfg = CrossScoreConfig(backbone=VIT_PRESETS["dinov2-test"], pe_h=6, pe_w=6)
+        model = CrossScoreNet(cfg)
+        query = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+        refs = jnp.asarray(rng.standard_normal((1, 2, 56, 56, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), query, refs)["params"]
+
+        want = model.apply({"params": params}, query, refs)["score_map_ref_cross"]
+        encode = make_backbone_encoder(cfg)
+        tokens = encode(params, refs.reshape(2, 56, 56, 3)).reshape(1, 2, 16, 64)
+        got = model.apply({"params": params}, query, None, ref_tokens=tokens)[
+            "score_map_ref_cross"
+        ]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_ref_imgs_and_tokens_mutually_exclusive(self, rng):
+        from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+        from crossscore_tpu.models.dinov2 import VIT_PRESETS
+
+        cfg = CrossScoreConfig(backbone=VIT_PRESETS["dinov2-test"], pe_h=6, pe_w=6)
+        model = CrossScoreNet(cfg)
+        query = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+        refs = jnp.asarray(rng.standard_normal((1, 2, 56, 56, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), query, refs)["params"]
+        with pytest.raises(ValueError, match="not both"):
+            model.apply({"params": params}, query, refs,
+                        ref_tokens=jnp.zeros((1, 2, 16, 64)))
+
+
+class TestPredictWithCache:
+    @pytest.fixture(scope="class")
+    def ws(self, tmp_path_factory):
+        from crossscore_tpu.data.synthetic import generate
+
+        root = tmp_path_factory.mktemp("cache_ws")
+        generate(root / "datadir", hw=(84, 112),
+                 scenes_per_split={"train": 1, "val": 1, "test": 1})
+        old = os.getcwd()
+        os.chdir(root)
+        yield root
+        os.chdir(old)
+
+    def test_cached_predict_identical_outputs(self, ws):
+        from crossscore_tpu.tasks.predict import main
+
+        common = [
+            "trainer.accelerator=cpu",
+            "model.tpu.compute_dtype=float32",
+            "model.backbone.preset=dinov2-test",
+            "data.neighbour_config.cross=2",
+            "data.dataset.query_dir=datadir/res_540/s00002/test/ours_1000/renders",
+            "data.dataset.reference_dir=datadir/res_540/s00002/train/ours_1000/gt",
+            "data.loader.validation.batch_size=2",
+            "data.loader.validation.num_workers=2",
+            "this_main.resize_short_side=84",
+            "this_main.ref_token_cache_encode_batch=2",
+        ]
+        out_off = main(common + ["this_main.ref_token_cache=off", "alias=nocache"])
+        out_on = main(common + ["this_main.ref_token_cache=on", "alias=cache"])
+        maps_off = sorted((out_off / "batch" / "score_map_ref_cross").glob("*.png"))
+        maps_on = sorted((out_on / "batch" / "score_map_ref_cross").glob("*.png"))
+        assert len(maps_off) == len(maps_on) == 3
+        for a, b in zip(maps_off, maps_on):
+            assert a.name == b.name
+            assert a.read_bytes() == b.read_bytes(), a.name

@@ -48,7 +48,7 @@ def main():
     from crossscore_tpu.ops.flash_attention import _flash_fwd
 
     specs = sys.argv[1:] or ["v1:688,1408,2", "v2:688,1408,2", "v2aug:688,1408,2"]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns())  # fresh seed: the relay memoises (program, inputs) across sessions
     q0 = jnp.asarray(rng.standard_normal((B, H, N, HD)), jnp.bfloat16)
     k0 = jnp.asarray(rng.standard_normal((B, H, NK, HD)), jnp.bfloat16)
     v0 = jnp.asarray(rng.standard_normal((B, H, NK, HD)), jnp.bfloat16)
@@ -67,24 +67,23 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
     import time
     if True:
         name, blocks = spec.split(":")
-        if name == "qkv":
-            # layout-native kernel: spec qkv:<block_q>,<hpack>. The loop
-            # carries (B, N, 3D) directly; the o->qkv tile between layers
-            # costs one ~0.5ms copy shared by all qkv specs (absent in the
-            # real model, where the qkv projection produces the layout).
+        if name == "qkvp":
+            # timing PROBE for the layout-native kernel (wrong math):
+            # qkvp:<block_q>,<hpack>,<probe> with probe in {mxu,nomax,nosum}
             from crossscore_tpu.ops.flash_attention import _flash_qkv_fwd
 
-            bq, hp = (int(x) for x in blocks.split(","))
-            d3 = 3 * H * HD
+            bq_s, hp_s, probe = blocks.split(",")
+            bq, hp = int(bq_s), int(hp_s)
             qkv0 = jnp.concatenate(
                 [x.transpose(0, 2, 1, 3).reshape(B, N, H * HD) for x in (q0, k0, v0)],
                 axis=-1,
             )
 
             @jax.jit
-            def loop(qkv, _bq=bq, _hp=hp):
+            def loop(qkv, _bq=bq, _hp=hp, _probe=probe):
                 def body(i, cur):
-                    o = _flash_qkv_fwd(cur, H, block_q=_bq, hpack=_hp)[0]
+                    o = _flash_qkv_fwd(cur, H, block_q=_bq, hpack=_hp,
+                                       probe=_probe)[0]
                     scale = 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
                     return jnp.tile(o * scale, (1, 1, 3))
 
@@ -94,7 +93,55 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
                 out = jax.lax.fori_loop(0, N_IT, layer_chain, qkv)
                 return out[0, 0, 0].astype(jnp.float32)
 
-            out = _flash_qkv_fwd(qkv0, H, block_q=bq, hpack=hp)[0]
+            t = time.perf_counter()
+            loop(qkv0 * jnp.bfloat16(0.5)).block_until_ready()
+            compile_s = time.perf_counter() - t
+            dts = []
+            for mult in (0.75, 1.0):
+                t0 = time.perf_counter()
+                loop(qkv0 * jnp.bfloat16(mult)).block_until_ready()
+                dts.append(time.perf_counter() - t0)
+            dt = max(dts)
+            ms_layer = dt / (N_IT * LAYERS) * 1e3
+            tflops = flops_per_layer / (ms_layer / 1e3) / 1e12
+            print(f"{spec:24s} {ms_layer:7.2f} ms/layer  {tflops:6.1f} TFLOP/s  "
+                  f"PROBE(wrong math)  (compile {compile_s:.0f}s, "
+                  f"runs {dts[0]*1e3:.0f}/{dts[1]*1e3:.0f}ms, incl o->qkv tile)",
+                  flush=True)
+            return ref_out
+        if name in ("qkv", "qkvc"):
+            # layout-native kernel: spec qkv:<block_q>,<hpack> or
+            # qkvc:<block_q>,<hpack>,<n_chunks> (in-VMEM chunked online
+            # softmax for MXU/VPU overlap). The loop carries (B, N, 3D)
+            # directly; the o->qkv tile between layers costs one ~0.5ms copy
+            # shared by all qkv specs (absent in the real model, where the
+            # qkv projection produces the layout).
+            from crossscore_tpu.ops.flash_attention import _flash_qkv_fwd
+
+            parts = [int(x) for x in blocks.split(",")]
+            bq, hp = parts[0], parts[1]
+            n_chunks = parts[2] if len(parts) > 2 else 1
+            d3 = 3 * H * HD
+            qkv0 = jnp.concatenate(
+                [x.transpose(0, 2, 1, 3).reshape(B, N, H * HD) for x in (q0, k0, v0)],
+                axis=-1,
+            )
+
+            @jax.jit
+            def loop(qkv, _bq=bq, _hp=hp, _nc=n_chunks):
+                def body(i, cur):
+                    o = _flash_qkv_fwd(cur, H, block_q=_bq, hpack=_hp,
+                                       chunks=_nc)[0]
+                    scale = 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
+                    return jnp.tile(o * scale, (1, 1, 3))
+
+                def layer_chain(i, cur):
+                    return jax.lax.fori_loop(0, LAYERS, body, cur)
+
+                out = jax.lax.fori_loop(0, N_IT, layer_chain, qkv)
+                return out[0, 0, 0].astype(jnp.float32)
+
+            out = _flash_qkv_fwd(qkv0, H, block_q=bq, hpack=hp, chunks=n_chunks)[0]
             out = out.reshape(B, N, H, HD).transpose(0, 2, 1, 3)
             out.block_until_ready()
             diff = 0.0 if ref_out is None else float(

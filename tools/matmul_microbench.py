@@ -28,7 +28,7 @@ def main():
     enable()
     from crossscore_tpu.ops.quant import int8_matmul
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns())  # fresh seed: the relay memoises (program, inputs) across sessions
 
     for (m, k, n, tag) in [
         (M, 384, 1536, "fc1"),

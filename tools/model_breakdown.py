@@ -34,13 +34,22 @@ def _time_loop(jax, jnp, fn, args, n_it=N_IT, label=""):
 
         return jax.lax.fori_loop(0, n_it, body, jnp.float32(0.0))
 
+    # every dispatch uses DISTINCT input values (the relay memoises identical
+    # (program, inputs) pairs — a repeat reads ~0 ms)
+    import jax.numpy as jnp
+
+    scaled = lambda mult: tuple(
+        a * jnp.bfloat16(mult) if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a
+        for a in args
+    )
     t = time.perf_counter()
-    loop(*args).block_until_ready()
+    loop(*scaled(0.5)).block_until_ready()
     compile_s = time.perf_counter() - t
     dts = []
-    for _ in range(2):
+    for mult in (0.75, 1.0):
+        inputs = scaled(mult)
         t0 = time.perf_counter()
-        loop(*args).block_until_ready()
+        loop(*inputs).block_until_ready()
         dts.append(time.perf_counter() - t0)
     dt = max(dts) / n_it
     print(f"{label:12s} {dt*1e3:8.2f} ms  (compile {compile_s:.0f}s, "
@@ -63,7 +72,7 @@ def main():
     sections = sys.argv[1:] or ["full", "backbone", "decoder"]
     cfg = load_config("default_predict")
     mcfg = CrossScoreConfig.from_config(cfg)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns())  # fresh seed: the relay memoises (program, inputs) across sessions
 
     if "full" in sections or "full2" in sections:
         model = CrossScoreNet(mcfg)
@@ -86,11 +95,12 @@ def main():
             rng.standard_normal((BATCH * (1 + K), HW, HW, 3)), jnp.bfloat16
         )
         for sec in backbone_variants:
-            # backbone | backbone_int8 | backbone_xla
+            # backbone | backbone_int8 | backbone_xla | backbone_fusedmlp
             quant = "int8" if "int8" in sec else "none"
             impl = "xla" if "xla" in sec else mcfg.attention_impl
+            mlp = "fused" if "fusedmlp" in sec else "xla"
             enc = Dinov2Encoder(mcfg.backbone, dtype=jnp.bfloat16,
-                                attention_impl=impl, quant=quant)
+                                attention_impl=impl, quant=quant, mlp_impl=mlp)
             eparams = enc.init(jax.random.PRNGKey(0), imgs[:1, :70, :70])["params"]
 
             def enc_fwd(i, x, _enc=enc, _p=eparams):

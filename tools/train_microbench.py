@@ -35,7 +35,7 @@ def main():
     cfg = load_config("default")
     mcfg = CrossScoreConfig.from_config(cfg)
     model = CrossScoreNet(mcfg)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns())  # fresh seed: the relay memoises (program, inputs) across sessions
     batch = {
         "query/img": jnp.asarray(rng.standard_normal((batch_size, hw, hw, 3)), jnp.bfloat16),
         "reference/cross/imgs": jnp.asarray(
