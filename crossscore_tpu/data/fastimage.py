@@ -75,6 +75,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int,
             ]
             lib.fi_load_metric.restype = ctypes.c_int
+            # in-memory (record-shard payload) variants
+            lib.fi_image_info_mem.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t
+            ] + [ctypes.POINTER(ctypes.c_int)] * 4
+            lib.fi_image_info_mem.restype = ctypes.c_int
+            lib.fi_load_rgb_mem.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.fi_load_rgb_mem.restype = ctypes.c_int
+            lib.fi_load_metric_mem.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.fi_load_metric_mem.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -94,6 +112,88 @@ def image_info(path: str) -> tuple[int, int, int, int]:
     if rc:
         raise IOError(f"fi_image_info({path}) failed rc={rc}")
     return h.value, w.value, c.value, b.value
+
+
+def image_info_bytes(data: bytes) -> tuple[int, int, int, int]:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    h = ctypes.c_int(); w = ctypes.c_int(); c = ctypes.c_int(); b = ctypes.c_int()
+    rc = lib.fi_image_info_mem(data, len(data), h, w, c, b)
+    if rc:
+        raise IOError(f"fi_image_info_mem failed rc={rc}")
+    return h.value, w.value, c.value, b.value
+
+
+def load_rgb_bytes(
+    data: bytes,
+    resize_hw: Optional[tuple[int, int]] = None,
+    crop: Optional[tuple[int, int, int, int]] = None,
+    normalize: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """``load_rgb`` decoding from an in-memory PNG payload (record shards)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    rh, rw = resize_hw if resize_hw else (0, 0)
+    if crop:
+        ci, cj, ch, cw = crop
+        ch_arg, cw_arg = ch, cw
+    else:
+        ci = cj = ch_arg = cw_arg = 0
+        if resize_hw:
+            ch, cw = rh, rw
+        else:
+            h, w, _, _ = image_info_bytes(data)
+            ch, cw = h, w
+    if out is None:
+        out = np.empty((ch, cw, 3), np.float32)
+    rc = lib.fi_load_rgb_mem(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rh, rw, ci, cj, ch_arg, cw_arg, int(normalize),
+    )
+    if rc:
+        raise IOError(f"fi_load_rgb_mem failed rc={rc}")
+    return out
+
+
+def load_metric_bytes(
+    data: bytes,
+    vrange: list,
+    clamp01: bool = False,
+    square: bool = False,
+    resize_hw: Optional[tuple[int, int]] = None,
+    crop: Optional[tuple[int, int, int, int]] = None,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """``load_metric`` decoding from an in-memory PNG payload (record shards)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    mode = 0 if list(vrange) == [0, 1] else 1
+    rh, rw = resize_hw if resize_hw else (0, 0)
+    if crop:
+        ci, cj, ch, cw = crop
+        ch_arg, cw_arg = ch, cw
+    else:
+        ci = cj = ch_arg = cw_arg = 0
+        if resize_hw:
+            ch, cw = rh, rw
+        else:
+            h, w, _, _ = image_info_bytes(data)
+            ch, cw = h, w
+    if out is None:
+        out = np.empty((ch, cw), np.float32)
+    rc = lib.fi_load_metric_mem(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mode, int(clamp01), int(square), rh, rw, ci, cj, ch_arg, cw_arg,
+    )
+    if rc:
+        raise IOError(f"fi_load_metric_mem failed rc={rc}")
+    return out
 
 
 def load_rgb(

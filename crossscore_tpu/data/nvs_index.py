@@ -347,9 +347,9 @@ class NvsDataset:
         from crossscore_tpu.data import fastimage
 
         item_paths = self.neighbour_selector.select(idx, rng)
-        # the native fused path decodes PNG only and reads from the
-        # filesystem; JPEG etc. (and record-store reads) fall back to PIL
-        if fastimage.available() and self._all_png(item_paths) and self._store is None:
+        # the native fused path decodes PNG only (from the filesystem or from
+        # record-shard payloads, fi_*_mem); JPEG etc. fall back to PIL
+        if fastimage.available() and self._all_png(item_paths):
             return self._get_item_fused(item_paths, rng)
         content = self.load_content(item_paths)
 
@@ -388,13 +388,40 @@ class NvsDataset:
 
     # ------------------------------------------------ native fused fast path
 
-    def _plan_geometry(self, path: str, rng, is_query: bool):
+    def _store_payload(self, path: str):
+        """Record-shard payload bytes for ``path``, or None (file on disk)."""
+        if self._store is None or path == EMPTY_IMAGE:
+            return None
+        try:
+            key = Path(path).resolve().relative_to(self._record_root.resolve()).as_posix()
+        except ValueError:
+            return None
+        return self._store.read(key) if key in self._store else None
+
+    def _fi_load_rgb(self, path: str, payload, **kw):
+        from crossscore_tpu.data import fastimage
+
+        if payload is not None:
+            return fastimage.load_rgb_bytes(payload, **kw)
+        return fastimage.load_rgb(path, **kw)
+
+    def _fi_load_metric(self, path: str, payload, **kw):
+        from crossscore_tpu.data import fastimage
+
+        if payload is not None:
+            return fastimage.load_metric_bytes(payload, **kw)
+        return fastimage.load_metric(path, **kw)
+
+    def _plan_geometry(self, path: str, rng, is_query: bool, payload=None):
         """(resize_hw, crop, out_hw, pre_crop_hw) for one image, consuming the
         SAME rng stream as the PIL path so both paths are bit-identical."""
         from crossscore_tpu.data import fastimage
         from crossscore_tpu.data.crop import get_crop_params
 
-        h, w, _, _ = fastimage.image_info(path)
+        if payload is not None:
+            h, w, _, _ = fastimage.image_info_bytes(payload)
+        else:
+            h, w, _, _ = fastimage.image_info(path)
         resize_hw = None
         if self.resize_short_side > 0 and min(h, w) != self.resize_short_side:
             s = self.resize_short_side
@@ -417,8 +444,12 @@ class NvsDataset:
 
         mc = self.metric_config
         qpath = item_paths["query/img"]
-        resize_hw, crop, out_hw, pre_crop_hw = self._plan_geometry(qpath, rng, is_query=True)
-        q = fastimage.load_rgb(qpath, resize_hw=resize_hw, crop=crop, normalize=True)
+        q_payload = self._store_payload(qpath)
+        resize_hw, crop, out_hw, pre_crop_hw = self._plan_geometry(
+            qpath, rng, is_query=True, payload=q_payload
+        )
+        q = self._fi_load_rgb(qpath, q_payload, resize_hw=resize_hw, crop=crop,
+                              normalize=True)
 
         sm_path = item_paths["query/score_map"]
         if sm_path == EMPTY_IMAGE or mc["type"] is None:
@@ -427,13 +458,15 @@ class NvsDataset:
             else:
                 sm = np.zeros(out_hw, np.float32)
         elif mc["type"] == "ssim":
-            sm = fastimage.load_metric(
-                sm_path, vrange=[-1, 1], clamp01=(mc["vrange"] == [0, 1]),
+            sm = self._fi_load_metric(
+                sm_path, self._store_payload(sm_path),
+                vrange=[-1, 1], clamp01=(mc["vrange"] == [0, 1]),
                 resize_hw=resize_hw, crop=crop,
             )
         else:  # mae / mse
-            sm = fastimage.load_metric(
-                sm_path, vrange=[0, 1], square=(mc["type"] == "mse"),
+            sm = self._fi_load_metric(
+                sm_path, self._store_payload(sm_path),
+                vrange=[0, 1], square=(mc["type"] == "mse"),
                 resize_hw=resize_hw, crop=crop,
             )
 
@@ -456,7 +489,10 @@ class NvsDataset:
                         )
                     refs[i] = zero_ref
                     continue
-                r_resize, r_crop, r_hw, _ = self._plan_geometry(rp, rng, is_query=False)
+                r_payload = self._store_payload(rp)
+                r_resize, r_crop, r_hw, _ = self._plan_geometry(
+                    rp, rng, is_query=False, payload=r_payload
+                )
                 if self.zero_reference:
                     refs[i] = zero_ref
                     continue
@@ -465,7 +501,8 @@ class NvsDataset:
                         f"reference {rp} output {r_hw} != query {out_hw}; "
                         "set a crop or resize for mixed-size inputs"
                     )
-                fastimage.load_rgb(rp, resize_hw=r_resize, crop=r_crop, normalize=True, out=refs[i])
+                self._fi_load_rgb(rp, r_payload, resize_hw=r_resize, crop=r_crop,
+                                  normalize=True, out=refs[i])
 
         out = {"query/img": q, "query/score_map": sm}
         if refs is not None:

@@ -1,10 +1,11 @@
 """CLI: pack a dataset tree into record shards for sequential-IO ingestion.
 
 Usage:
-    python -m crossscore_tpu.data.pack <dataset_root> <out_dir> [shard_mb]
+    python -m crossscore_tpu.data.pack <dataset_root> <out_dir> [shard_mb] [workers]
 
 Then train/test/predict with ``data.dataset.record_dir=<out_dir>``.
-See crossscore_tpu/data/records.py for the format.
+``workers > 1`` packs in parallel processes (2 TB-corpus scale; the result is
+content-identical to a single-process pack). See crossscore_tpu/data/records.py.
 """
 
 from __future__ import annotations
@@ -20,7 +21,8 @@ def main(argv=None):
         print(__doc__)
         raise SystemExit(2)
     shard_mb = int(argv[2]) if len(argv) > 2 else 512
-    pack(argv[0], argv[1], shard_mb=shard_mb)
+    workers = int(argv[3]) if len(argv) > 3 else 1
+    pack(argv[0], argv[1], shard_mb=shard_mb, workers=workers)
 
 
 if __name__ == "__main__":

@@ -40,19 +40,37 @@ struct PngImage {
     int h = 0, w = 0, channels = 0, bit_depth = 0;
 };
 
-int read_png(const char* path, PngImage* img, bool want_16bit_gray) {
-    FILE* fp = fopen(path, "rb");
-    if (!fp) return 1;
+// in-memory read source for png_set_read_fn (record-shard payloads decode
+// straight from the mmap'd/pread buffer — no temp file, no extra copy)
+struct MemSource {
+    const uint8_t* data;
+    size_t len;
+    size_t off;
+};
+
+void mem_read_cb(png_structp png, png_bytep out, png_size_t n) {
+    MemSource* src = (MemSource*)png_get_io_ptr(png);
+    if (src->off + n > src->len) {
+        png_error(png, "fastimage: truncated PNG buffer");
+        return;
+    }
+    std::memcpy(out, src->data + src->off, n);
+    src->off += n;
+}
+
+// shared decode body; exactly one of fp / mem is non-null
+int read_png_impl(FILE* fp, MemSource* mem, PngImage* img, bool want_16bit_gray) {
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-    if (!png) { fclose(fp); return 2; }
+    if (!png) { if (fp) fclose(fp); return 2; }
     png_infop info = png_create_info_struct(png);
-    if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); fclose(fp); return 2; }
+    if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); if (fp) fclose(fp); return 2; }
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
-        fclose(fp);
+        if (fp) fclose(fp);
         return 3;
     }
-    png_init_io(png, fp);
+    if (fp) png_init_io(png, fp);
+    else png_set_read_fn(png, mem, mem_read_cb);
     png_read_info(png, info);
 
     int bit_depth = png_get_bit_depth(png, info);
@@ -85,8 +103,19 @@ int read_png(const char* path, PngImage* img, bool want_16bit_gray) {
     png_read_image(png, rows.data());
     png_read_end(png, nullptr);
     png_destroy_read_struct(&png, &info, nullptr);
-    fclose(fp);
+    if (fp) fclose(fp);
     return 0;
+}
+
+int read_png(const char* path, PngImage* img, bool want_16bit_gray) {
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return 1;
+    return read_png_impl(fp, nullptr, img, want_16bit_gray);
+}
+
+int read_png_mem(const uint8_t* data, size_t len, PngImage* img, bool want_16bit_gray) {
+    MemSource src{data, len, 0};
+    return read_png_impl(nullptr, &src, img, want_16bit_gray);
 }
 
 // torch-style antialiased bilinear axis weights (drop out-of-range taps).
@@ -187,12 +216,9 @@ int fi_image_info(const char* path, int* h, int* w, int* channels, int* bit_dept
     return 0;
 }
 
-// out must hold crop_h*crop_w*3 (or post-resize/full dims when crop_h<=0) floats.
-int fi_load_rgb(const char* path, float* out, int resize_h, int resize_w,
-                int crop_i, int crop_j, int crop_h, int crop_w, int normalize) {
-    PngImage img;
-    int rc = read_png(path, &img, /*want_16bit_gray=*/false);
-    if (rc) return rc;
+static int load_rgb_from(PngImage& img, float* out, int resize_h, int resize_w,
+                         int crop_i, int crop_j, int crop_h, int crop_w,
+                         int normalize) {
     if (img.channels != 3 || img.bit_depth != 8) return 4;
 
     int h = img.h, w = img.w;
@@ -229,13 +255,28 @@ int fi_load_rgb(const char* path, float* out, int resize_h, int resize_w,
     return 0;
 }
 
-// 16-bit gray metric map. vrange_mode: 0 -> /65535 ([0,1]); 1 -> /32767-1 ([-1,1]).
-// clamp01: clamp to [0,1] after decode; square: m = m*m (mse from mae).
-int fi_load_metric(const char* path, float* out, int vrange_mode, int clamp01, int square,
-                   int resize_h, int resize_w, int crop_i, int crop_j, int crop_h, int crop_w) {
+// out must hold crop_h*crop_w*3 (or post-resize/full dims when crop_h<=0) floats.
+int fi_load_rgb(const char* path, float* out, int resize_h, int resize_w,
+                int crop_i, int crop_j, int crop_h, int crop_w, int normalize) {
     PngImage img;
-    int rc = read_png(path, &img, /*want_16bit_gray=*/true);
+    int rc = read_png(path, &img, /*want_16bit_gray=*/false);
     if (rc) return rc;
+    return load_rgb_from(img, out, resize_h, resize_w, crop_i, crop_j, crop_h, crop_w, normalize);
+}
+
+// same as fi_load_rgb, decoding from an in-memory PNG payload (record shards)
+int fi_load_rgb_mem(const uint8_t* data, size_t len, float* out,
+                    int resize_h, int resize_w,
+                    int crop_i, int crop_j, int crop_h, int crop_w, int normalize) {
+    PngImage img;
+    int rc = read_png_mem(data, len, &img, /*want_16bit_gray=*/false);
+    if (rc) return rc;
+    return load_rgb_from(img, out, resize_h, resize_w, crop_i, crop_j, crop_h, crop_w, normalize);
+}
+
+static int load_metric_from(PngImage& img, float* out, int vrange_mode, int clamp01,
+                            int square, int resize_h, int resize_w,
+                            int crop_i, int crop_j, int crop_h, int crop_w) {
     if (img.channels != 1 || img.bit_depth != 16) return 4;
 
     int h = img.h, w = img.w;
@@ -268,6 +309,49 @@ int fi_load_metric(const char* path, float* out, int vrange_mode, int clamp01, i
     }
     for (int y = 0; y < ch; ++y)
         std::memcpy(out + (size_t)y * cw, cur + (size_t)(ci + y) * w + cj, sizeof(float) * cw);
+    return 0;
+}
+
+// 16-bit gray metric map. vrange_mode: 0 -> /65535 ([0,1]); 1 -> /32767-1 ([-1,1]).
+// clamp01: clamp to [0,1] after decode; square: m = m*m (mse from mae).
+int fi_load_metric(const char* path, float* out, int vrange_mode, int clamp01, int square,
+                   int resize_h, int resize_w, int crop_i, int crop_j, int crop_h, int crop_w) {
+    PngImage img;
+    int rc = read_png(path, &img, /*want_16bit_gray=*/true);
+    if (rc) return rc;
+    return load_metric_from(img, out, vrange_mode, clamp01, square,
+                            resize_h, resize_w, crop_i, crop_j, crop_h, crop_w);
+}
+
+int fi_load_metric_mem(const uint8_t* data, size_t len, float* out,
+                       int vrange_mode, int clamp01, int square,
+                       int resize_h, int resize_w,
+                       int crop_i, int crop_j, int crop_h, int crop_w) {
+    PngImage img;
+    int rc = read_png_mem(data, len, &img, /*want_16bit_gray=*/true);
+    if (rc) return rc;
+    return load_metric_from(img, out, vrange_mode, clamp01, square,
+                            resize_h, resize_w, crop_i, crop_j, crop_h, crop_w);
+}
+
+int fi_image_info_mem(const uint8_t* data, size_t len,
+                      int* h, int* w, int* channels, int* bit_depth) {
+    // header-only probe: decode just the IHDR via the mem reader
+    MemSource src{data, len, 0};
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    png_infop info = png_create_info_struct(png);
+    if (!png || !info) return 2;
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return 3;
+    }
+    png_set_read_fn(png, &src, mem_read_cb);
+    png_read_info(png, info);
+    *h = (int)png_get_image_height(png, info);
+    *w = (int)png_get_image_width(png, info);
+    *channels = (int)png_get_channels(png, info);
+    *bit_depth = (int)png_get_bit_depth(png, info);
+    png_destroy_read_struct(&png, &info, nullptr);
     return 0;
 }
 

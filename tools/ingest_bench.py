@@ -23,7 +23,7 @@ import numpy as np
 def main():
     import crossscore_tpu.data.fastimage as fastimage
 
-    fastimage.available = lambda: False  # pin both sides to PIL decode
+    native_ok = fastimage.available()
     from crossscore_tpu.data.loader import Loader
     from crossscore_tpu.data.nvs_index import NvsDataset
     from crossscore_tpu.data.records import pack
@@ -41,9 +41,22 @@ def main():
             neighbour_config={"cross": 5, "strategy": "random"},
             metric_type="ssim", metric_min=0, metric_max=1, crop_size=224,
         )
-        for tag, extra in [("fs ", {}), ("rec", {"record_dir": str(root / "packed")})]:
+        variants = [
+            ("fs /pil    ", {}, False),
+            ("rec/pil    ", {"record_dir": str(root / "packed")}, False),
+        ]
+        if native_ok:
+            variants += [
+                ("fs /native ", {}, True),
+                ("rec/native ", {"record_dir": str(root / "packed")}, True),
+            ]
+        real_available = fastimage.available
+        for tag, extra, use_native in variants:
+            fastimage.available = real_available if use_native else (lambda: False)
             ds = NvsDataset(**kw, **extra)
             loader = Loader(ds, batch_size=4, num_workers=4, seed=0)
+            for b in loader.epoch(999):  # untimed warmup (page cache, lib init)
+                pass
             items = 0
             t0 = time.perf_counter()
             for ep in range(n_epochs):
