@@ -154,6 +154,35 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
         jax.lax.fori_loop(0, block_h, lambda hh, c: (one_slice(hh), c)[1], 0)
 
 
+def _fwd_kernel_v2_mxu_probe(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
+                             m_ref, m_scr, acc_scr, *, c1: float, hd: int):
+    """TIMING PROBE (wrong math): the multi-KV v2 kernel with every softmax
+    pass deleted — QK -> bf16 cast -> PV accumulate. Bounds the kernel's
+    MXU/DMA floor for the decoder cross-attention shape."""
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.zeros_like(m_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = (s * c1).astype(v_ref.dtype)
+    pv = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        acc = acc_scr[...]
+        o_ref[0] = acc[:, :hd].astype(o_ref.dtype)
+        l_ref[0] = acc[:, hd:hd + 1].astype(l_ref.dtype)
+        m_ref[0] = m_scr[...][:, :1].astype(m_ref.dtype)
+
+
 def _fwd_kernel_v2(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
                    m_scr, acc_scr, *, c1: float, hd: int):
     """Multi-KV-block online-softmax kernel, VPU-minimised (round 2).
@@ -310,7 +339,8 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
         else:
             if not aug:
                 raise ValueError("multi-KV v2 kernel requires the augmented V")
-            kernel = functools.partial(_fwd_kernel_v2, c1=sm_scale * LOG2E, hd=hd)
+            kfn = _fwd_kernel_v2_mxu_probe if "mxuprobe" in variant else _fwd_kernel_v2
+            kernel = functools.partial(kfn, c1=sm_scale * LOG2E, hd=hd)
             scratch_shapes = [
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, v_lanes), jnp.float32),

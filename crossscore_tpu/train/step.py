@@ -70,6 +70,9 @@ def loss_fn(model: CrossScoreNet, params, batch):
         {"params": params},
         batch["query/img"],
         batch.get("reference/cross/imgs"),
+        # cached-reference eval (tasks/test.py + data/token_cache.py): the
+        # batch carries precomputed reference tokens instead of pixels
+        ref_tokens=batch.get("reference/cross/tokens"),
         valid_hw=None if valid_hw is None else (valid_hw[0], valid_hw[1]),
     )
     pred = out["score_map_ref_cross"]

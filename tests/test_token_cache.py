@@ -150,3 +150,37 @@ class TestPredictWithCache:
         for a, b in zip(maps_off, maps_on):
             assert a.name == b.name
             assert a.read_bytes() == b.read_bytes(), a.name
+
+
+class TestTestTaskWithCache:
+    @pytest.fixture(scope="class")
+    def ws(self, tmp_path_factory):
+        from crossscore_tpu.data.synthetic import generate
+
+        root = tmp_path_factory.mktemp("cache_test_ws")
+        generate(root / "datadir", hw=(84, 112),
+                 scenes_per_split={"train": 1, "val": 1, "test": 1})
+        old = os.getcwd()
+        os.chdir(root)
+        yield root
+        os.chdir(old)
+
+    def test_cached_eval_identical_metrics(self, ws):
+        from crossscore_tpu.tasks.test import main
+
+        common = [
+            "trainer.accelerator=cpu",
+            "model.tpu.compute_dtype=float32",
+            "model.backbone.preset=dinov2-test",
+            "data.neighbour_config.cross=2",
+            "data.dataset.path=[datadir]",
+            "data.loader.validation.batch_size=2",
+            "data.loader.validation.num_workers=2",
+            "this_main.resize_short_side=-1",
+            "this_main.ref_token_cache_encode_batch=2",
+        ]
+        out_off = main(common + ["this_main.ref_token_cache=off", "alias=nc"])
+        out_on = main(common + ["this_main.ref_token_cache=on", "alias=wc"])
+        csv_off = (out_off / "metrics.csv").read_text()
+        csv_on = (out_on / "metrics.csv").read_text()
+        assert csv_off == csv_on

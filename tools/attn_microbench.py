@@ -167,7 +167,8 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
         else:
             bq, bk, bh = (int(x) for x in blocks.split(","))
             variant = {"v1": "v1", "v2": "v2", "v2noaug": "v2_noaug",
-                       "v2bf16": "v2_bf16", "v2noexp": "v2_noexp"}[name]
+                       "v2bf16": "v2_bf16", "v2noexp": "v2_noexp",
+                       "v2mxu": "v2_mxuprobe"}[name]  # v2mxu: wrong-math probe
 
             def attn(q, k, v, _variant=variant, _bq=bq, _bk=bk, _bh=bh):
                 return _flash_fwd(q, k, v, block_q=_bq, block_k=_bk, block_h=_bh,
