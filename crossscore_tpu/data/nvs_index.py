@@ -471,12 +471,21 @@ class NvsDataset:
             )
 
         refs = None
+        skipped = None
+        # optional loader-side decode skip (cached-reference serving,
+        # tasks/predict.py): when the token cache already holds this
+        # reference's embedding, its pixels are never consumed — emit a
+        # placeholder and skip the decode. Exact: crops on this path are
+        # deterministic (no rng draws), and the consumer (RefTokenCache
+        # .gather) resolves skipped slots from the cache only.
+        skip_fn = getattr(self, "ref_pixel_skip", None)
         ref_paths = item_paths["reference/cross/imgs"]
         if ref_paths:
             from crossscore_tpu.data.crop import get_crop_params
 
             zero_ref = normalize_imagenet(np.zeros((*out_hw, 3), np.float32))
             refs = np.empty((len(ref_paths), *out_hw, 3), np.float32)
+            skipped = np.zeros(len(ref_paths), bool)
             for i, rp in enumerate(ref_paths):
                 if rp == EMPTY_IMAGE:
                     # PIL-path parity: an empty ref is a zeros image of the
@@ -501,12 +510,18 @@ class NvsDataset:
                         f"reference {rp} output {r_hw} != query {out_hw}; "
                         "set a crop or resize for mixed-size inputs"
                     )
+                if skip_fn is not None and skip_fn(rp, r_hw):
+                    refs[i] = 0.0  # placeholder; tokens come from the cache
+                    skipped[i] = True
+                    continue
                 self._fi_load_rgb(rp, r_payload, resize_hw=r_resize, crop=r_crop,
                                   normalize=True, out=refs[i])
 
         out = {"query/img": q, "query/score_map": sm}
         if refs is not None:
             out["reference/cross/imgs"] = refs
+            if skip_fn is not None:
+                out["reference/skipped"] = skipped
         if self.return_item_paths:
             out["item_paths"] = item_paths
         return out

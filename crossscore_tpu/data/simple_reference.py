@@ -47,6 +47,11 @@ class SimpleReference(NvsDataset):
         self.all_paths = self.build_paths(query_dir, reference_dir)
         self.neighbour_selector = NeighbourSelector(self.all_paths, self.neighbour_config)
 
+    def reference_pool_size(self) -> int:
+        """Number of distinct reference images (the token-cache working set)."""
+        scene = next(iter(self.all_paths.values()))
+        return scene["gs_test"]["reference"]["cross"]["N_imgs_per_iter"]
+
     @staticmethod
     def build_paths(query_dir: str, reference_dir: str) -> dict:
         query_dir = os.path.expanduser(query_dir)

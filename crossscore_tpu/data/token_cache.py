@@ -7,9 +7,12 @@ the demo config), although the backbone is frozen and reference sets overlap
 heavily across queries (``task/predict.py`` + ``simple_reference.py`` reuse
 one reference directory for ALL queries). A frozen backbone makes reference
 embeddings a pure function of the image file, so this cache turns predict
-into 1 ViT forward per map + a decoder pass once the cache is warm — an
-(1+K)x backbone-compute reduction, exact to the last bit (the tokens ARE the
-ones the fused path would compute, pinned by tests/test_token_cache.py).
+into 1 ViT forward per map + a decoder pass once the cache is warm — a
+(1+K)x backbone-compute reduction. Exactness: cached tokens are reused
+verbatim, so score-map outputs are byte-identical; full-precision metrics
+match to float reduction-order noise (~3e-8 relative — the backbone runs on
+encode_batch chunks instead of one B*(1+K) call, and XLA reductions are not
+bitwise batch-shape-invariant). Pinned by tests/test_token_cache.py.
 
 Design notes (TPU):
 - misses are encoded in fixed-size batches (padded on the last chunk) so the
@@ -48,22 +51,40 @@ class RefTokenCache:
         self._cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
         self.hits = 0
         self.misses = 0
+        self.skipped_decodes = 0  # slots whose host decode was skipped
 
     @staticmethod
-    def _key(path: str, img: np.ndarray) -> tuple:
+    def _key(path: str, hw: tuple) -> tuple:
         try:
             mtime = Path(path).stat().st_mtime_ns
         except OSError:
             mtime = 0
-        return (path, mtime, img.shape)
+        return (path, mtime, (int(hw[0]), int(hw[1])))
 
-    def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray) -> np.ndarray:
+    def has(self, path: str, hw: tuple) -> bool:
+        """True if tokens for (path, planned output (h, w)) are cached.
+        Used by the loader-side decode skip (``dataset.ref_pixel_skip``):
+        the key needs only the PNG header geometry, not the pixels. Touches
+        the LRU so in-flight entries are not evicted between the loader's
+        check and the consuming ``gather``."""
+        key = self._key(path, hw)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return True
+        return False
+
+    def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray,
+               skipped=None) -> np.ndarray:
         """:param ref_paths: per-view path lists ``[k][b]`` (the collated
             ``batch["item_paths"]["reference/cross/imgs"]`` layout).
         :param ref_imgs: (B, K, H, W, 3) normalised pixels (host numpy).
+        :param skipped: optional (B, K) bool — slots whose PIXELS are
+            placeholder zeros because the loader skipped decoding on a cache
+            hit; they MUST resolve from the cache (raises if evicted —
+            raise ``max_items`` if that ever fires).
         :return: (B, K, N_patch, D) tokens, dtype = encode_fn's output."""
         b, k = ref_imgs.shape[:2]
-        keys = [[self._key(ref_paths[kk][bb], ref_imgs[bb, kk])
+        keys = [[self._key(ref_paths[kk][bb], ref_imgs.shape[2:4])
                  for kk in range(k)] for bb in range(b)]
 
         # unique misses, first-occurrence order
@@ -71,6 +92,15 @@ class RefTokenCache:
         for bb in range(b):
             for kk in range(k):
                 key = keys[bb][kk]
+                if skipped is not None and skipped[bb][kk]:
+                    if key not in self._cache:
+                        raise RuntimeError(
+                            f"decode-skipped reference evicted from the token "
+                            f"cache before use: {key[0]} — raise "
+                            f"this_main.ref_token_cache_max_items"
+                        )
+                    self.skipped_decodes += 1
+                    continue
                 if key not in self._cache and key not in miss:
                     miss[key] = ref_imgs[bb, kk]
         self.hits += b * k - sum(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -77,6 +78,70 @@ class HeadOutProj(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class HeadLaneProj(nn.Module):
+    """Projection emitting TOKEN-MAJOR lane-packed heads (B, N, H*hd_pad):
+    each head's hd columns are zero-padded to ``hd_pad`` so ``128 // hd_pad``
+    heads fill one 128-lane block — the layout the layout-native cross kernel
+    consumes with zero relayouts. Zero pad lanes are exact (QK adds 0, PV
+    emits 0). ``prescale`` multiplies kernel+bias in fp32 — used to fold the
+    true softmax scale into q when the kernel divides by sqrt(hd_pad).
+    Parameter-compatible with ``nn.Dense`` (kernel (D_in, features))."""
+
+    features: int  # H * true head dim
+    num_heads: int
+    hd_pad: int
+    dtype: Any = jnp.float32
+    prescale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.num_heads
+        hd = self.features // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = self.hd_pad - hd
+        k3 = (kernel.astype(jnp.float32) * self.prescale).reshape(x.shape[-1], h, hd)
+        k3 = jnp.pad(k3, ((0, 0), (0, 0), (0, pad)))
+        b2 = jnp.pad((bias.astype(jnp.float32) * self.prescale).reshape(h, hd),
+                     ((0, 0), (0, pad)))
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            k3.reshape(x.shape[-1], h * self.hd_pad).astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        return y + b2.reshape(-1).astype(self.dtype)
+
+
+class HeadLaneOutProj(nn.Module):
+    """Out-projection consuming lane-packed (B, N, H*hd_pad) -> (B, N, D);
+    padded rows of the kernel are zero so pad lanes contribute nothing.
+    Parameter-compatible with ``nn.Dense`` (kernel (H*hd, D))."""
+
+    features: int
+    num_heads: int
+    head_dim: int  # true head dim
+    hd_pad: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, hd = self.num_heads, self.head_dim
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (h * hd, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k3 = kernel.reshape(h, hd, self.features)
+        k3 = jnp.pad(k3, ((0, 0), (0, self.hd_pad - hd), (0, 0)))
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            k3.reshape(h * self.hd_pad, self.features).astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class TorchStyleMHA(nn.Module):
     """torch.nn.MultiheadAttention-equivalent (batch_first, same q/k/v dims)."""
 
@@ -98,6 +163,43 @@ class TorchStyleMHA(nn.Module):
         nk = key.shape[1]
         h = self.num_heads
         hd = self.d_model // h
+
+        # layout-native path (default pallas route): token-major lane-packed
+        # projections + the cross kernel — no head-major relayouts touch HBM,
+        # and hd is zero-padded to a 128-divisor (48 -> 64 for CrossScore's
+        # decoder) so two heads fill each lane block. Measured vs the
+        # head-major kernel in PERFORMANCE.md.
+        hd_pad = next((p for p in (64, 128) if hd <= p), None)
+        use_ln = (
+            self.attention_impl == "pallas"
+            and not need_weights
+            and hd_pad is not None
+            and h % (128 // hd_pad) == 0
+        )
+        if use_ln:
+            from crossscore_tpu.ops.flash_attention import (
+                flash_cross_attention_ln, flash_cross_attention_ln_masked,
+                pick_cross_ln_blocks,
+            )
+
+            # kernel divides by sqrt(hd_pad); fold the true-scale correction
+            # into the q projection (fp32, exact)
+            prescale = (hd_pad ** 0.5) / (hd ** 0.5)
+            qp = HeadLaneProj(self.d_model, h, hd_pad, dtype=self.dtype,
+                              prescale=prescale, name="q_proj")(query)
+            kp = HeadLaneProj(self.d_model, h, hd_pad, dtype=self.dtype,
+                              name="k_proj")(key)
+            vp = HeadLaneProj(self.d_model, h, hd_pad, dtype=self.dtype,
+                              name="v_proj")(value)
+            bq, bk = pick_cross_ln_blocks(nq, nk)
+            if kv_bias is not None:
+                o = flash_cross_attention_ln_masked(qp, kp, vp, kv_bias, h,
+                                                    hd_pad, bq, bk)
+            else:
+                o = flash_cross_attention_ln(qp, kp, vp, h, hd_pad, bq, bk)
+            out = HeadLaneOutProj(self.d_model, h, hd, hd_pad,
+                                  dtype=self.dtype, name="out_proj")(o)
+            return out, None
 
         q = HeadProj(self.d_model, h, dtype=self.dtype, name="q_proj")(query)
         k = HeadProj(self.d_model, h, dtype=self.dtype, name="k_proj")(key)

@@ -658,6 +658,194 @@ def tp_flash_cross_attention(q, k, v, axis: str):
     )(q, k, v)
 
 
+def _fwd_kernel_cross_ln(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
+                         m_scr, l_scr, acc_scr, *, c1: float, hd: int,
+                         hpack: int):
+    """Layout-native CROSS-attention kernel (decoder): q/k/v arrive token-major
+    with the head axis packed into lanes at a PADDED head dim (hd zero-padded
+    so ``hpack`` heads fill one 128-lane block — zero lanes change nothing:
+    QK contraction over zeros adds 0, PV zero-V lanes emit 0). Online softmax
+    over KV blocks with per-head fp32 scratch. vs the head-major kernel this
+    halves HBM traffic (head-major (…, Nk, 48) arrays are lane-tile padded to
+    128 in HBM) and runs PV at the full 128-lane MXU width.
+
+    Scratch: m/l (hpack, bq, LANES) replicated, acc (hpack, bq, hd).
+    ``bias_ref``: (1, bk) additive mask row in exp2 base (block padding +
+    optional shape-bucket token mask), shared across heads."""
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for j in range(hpack):
+        q = q_ref[0][:, j * hd:(j + 1) * hd]
+        k = k_ref[0][:, j * hd:(j + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        t = s * c1 + bias_ref[0]
+        m_prev = m_scr[j]
+        l_prev = l_scr[j]
+        m_curr = jnp.max(t, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(t - m_next[:, :1]).astype(v_ref.dtype)
+        l_curr = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        l_scr[j] = l_prev * alpha + jnp.broadcast_to(l_curr, l_prev.shape)
+        m_scr[j] = m_next
+        v = v_ref[0][:, j * hd:(j + 1) * hd]
+        pv = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        acc_scr[j] = acc_scr[j] * alpha[:, :hd] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        for j in range(hpack):
+            l_fin = l_scr[j][:, :1]
+            l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            o_ref[0, :, j * hd:(j + 1) * hd] = (acc_scr[j] * l_inv).astype(o_ref.dtype)
+            l_ref[0, j] = l_fin.astype(l_ref.dtype)
+            m_ref[0, j] = (m_scr[j][:, :1] * (1.0 / LOG2E)).astype(m_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_q", "block_k"))
+def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
+                        block_q: int = 0, block_k: int = 1024, kv_bias=None):
+    """qp: (B, Nq, H*hd); kp/vp: (B, Nk, H*hd) token-major, head dim PADDED so
+    ``hpack = 128 // hd`` heads fill a lane block (hd must divide 128).
+    Returns (o (B, Nq, H*hd), l, m (B, H, Nq)). The softmax scale is
+    1/sqrt(hd) of the PADDED dim; callers with a smaller true head dim fold
+    the correction into the q projection (exactly — see HeadLaneProj)."""
+    b, nq, dtot = qp.shape
+    nk = kp.shape[1]
+    h = num_heads
+    hpack = LANES // hd
+    if hd * hpack != LANES or h % hpack:
+        raise ValueError(f"hd={hd} hpack={hpack} H={h} incompatible with 128 lanes")
+    nlb = dtot // LANES
+    sm_scale = 1.0 / (hd ** 0.5)
+    if block_q <= 0:
+        block_q = nq
+    nk_p = _ceil_to(nk, block_k)
+    if nk_p != nk:
+        pad = nk_p - nk
+        kp = jnp.pad(kp, ((0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, pad), (0, 0)))
+    bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF)
+    if kv_bias is not None:
+        bias = bias + jnp.pad(kv_bias.astype(jnp.float32) * LOG2E, (0, nk_p - nk))
+    bias = bias.astype(jnp.float32).reshape(1, nk_p)
+
+    grid = (b, nlb, pl.cdiv(nq, block_q), nk_p // block_k)
+    kernel = functools.partial(
+        _fwd_kernel_cross_ln, c1=sm_scale * LOG2E, hd=hd, hpack=hpack
+    )
+    o, l, m = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_k), lambda b_, p, qi, ki: (0, ki)),
+            pl.BlockSpec((1, block_q, LANES), lambda b_, p, qi, ki: (b_, qi, p)),
+            pl.BlockSpec((1, block_k, LANES), lambda b_, p, qi, ki: (b_, ki, p)),
+            pl.BlockSpec((1, block_k, LANES), lambda b_, p, qi, ki: (b_, ki, p)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, LANES), lambda b_, p, qi, ki: (b_, qi, p)),
+            pl.BlockSpec((1, hpack, block_q, 1), lambda b_, p, qi, ki: (b_, p, qi, 0)),
+            pl.BlockSpec((1, hpack, block_q, 1), lambda b_, p, qi, ki: (b_, p, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq, dtot), qp.dtype),
+            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hpack, block_q, LANES), jnp.float32),
+            pltpu.VMEM((hpack, block_q, LANES), jnp.float32),
+            pltpu.VMEM((hpack, block_q, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk_p * hd,
+            bytes_accessed=b * (2 * nq * dtot + 2 * nk_p * dtot * (pl.cdiv(nq, block_q))) * 2,
+            transcendentals=b * h * nq * nk_p,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(bias, qp, kp, vp)
+    return o, l[..., 0], m[..., 0]
+
+
+def pick_cross_ln_blocks(nq: int, nk: int) -> tuple[int, int]:
+    """(block_q, block_k) for the layout-native cross kernel, sized to the
+    16M scoped-VMEM limit: the unrolled head pair keeps TWO live
+    (bq, bk)-score tiles (fp32 + bf16 p ≈ 12 bytes/element) per cell, plus
+    ~3 MB of KV blocks and softmax scratch. Equal q splits (fewest that fit)
+    beat budget-maximal blocks (PERFORMANCE.md, bq=688 at the decoder shape)."""
+    bk = _ceil_to(nk, 128) if nk <= 2048 else 1024
+    # empirical scoped-VMEM ceiling on the live score-tile ELEMENT count:
+    # 688x1408 (0.97M) compiles, 912x1920 (1.75M) and 1369x1024 (1.40M) OOM
+    max_bq = max(128, 1_050_000 // bk // 8 * 8)
+    n_splits = max(1, -(-nq // max_bq))
+    return _ceil_to(-(-nq // n_splits), 8), bk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_cross_attention_ln(qp, kp, vp, num_heads: int, hd: int,
+                             block_q: int = 0, block_k: int = 1024):
+    """Layout-native cross-attention on token-major packed projections.
+
+    qp/kp/vp: (B, N, H*hd) with hd the PADDED head dim (128 % hd == 0; pad
+    lanes zero). The softmax scale applied is 1/sqrt(hd) of the PADDED dim —
+    callers with a smaller true head dim fold the correction into the q
+    projection (``HeadLaneProj.prescale``). Backward reconstructs head-major
+    views and reuses the existing flash-style backward (training pays the
+    relayout; inference does not)."""
+    o, _, _ = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd,
+                                  block_q=block_q, block_k=block_k)
+    return o
+
+
+def _split_packed(x, h, hd):
+    b, n, _ = x.shape
+    return x.reshape(b, n, h, hd).transpose(0, 2, 1, 3)  # (B, H, N, hd)
+
+
+def _fcaln_fwd(qp, kp, vp, num_heads, hd, block_q, block_k):
+    o, l, m = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd,
+                                  block_q=block_q, block_k=block_k)
+    return o, (qp, kp, vp, o, l, m)
+
+
+def _fcaln_bwd(num_heads, hd, block_q, block_k, residuals, do):
+    qp, kp, vp, o, l, m = residuals
+    h = num_heads
+    q = _split_packed(qp, h, hd)
+    k = _split_packed(kp, h, hd)
+    v = _split_packed(vp, h, hd)
+    o_h = _split_packed(o, h, hd)
+    do_h = _split_packed(do, h, hd)
+    dq, dk, dv = _dispatch_bwd((q, k, v, o_h, l, m), do_h, 1024)
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[2], -1)
+    return pack(dq), pack(dk), pack(dv)
+
+
+flash_cross_attention_ln.defvjp(_fcaln_fwd, _fcaln_bwd)
+
+
+def flash_cross_attention_ln_masked(qp, kp, vp, kv_bias, num_heads: int,
+                                    hd: int, block_q: int = 0,
+                                    block_k: int = 1024):
+    """Forward-only masked variant (shape-bucketed inference)."""
+    o, _, _ = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd, block_q=block_q,
+                                  block_k=block_k, kv_bias=kv_bias)
+    return o
+
+
 def pick_qkv_hpack(h: int, hd: int) -> int:
     """Heads per grid cell for the layout-native kernel: fill a 128-lane block
     when possible (e.g. 2 heads at hd=64), clamped to divide H."""
@@ -829,11 +1017,15 @@ def _flash_qkv_fwd(qkv, num_heads: int, block_q: int = 0, hpack: int = 2,
     h = num_heads
     hd = d // h
     if block_q <= 0:
-        # auto: largest q block whose fp32 score tile + bf16 p tile fit a
-        # ~6 MB VMEM budget (whole row when it fits). Must be a multiple of 8
-        # (Mosaic block constraint); the partial EDGE block (n % block_q) is
+        # auto: fewest EQUAL q blocks whose fp32 score tile + bf16 p tile fit
+        # a ~6 MB VMEM budget (whole row when it fits). Equal splits beat the
+        # budget-maximal block: bq=688 (2x ~688) measured 4.58 ms/layer vs
+        # 4.85 at bq=728 (728+642) at the bench point (PERFORMANCE.md).
+        # Multiple of 8 (Mosaic block constraint); the partial EDGE block is
         # handled by Mosaic's masked DMA — garbage rows never leave the cell.
-        block_q = min(n, max(128, (6_000_000 // (n * 6)) // 8 * 8))
+        budget = min(n, max(128, (6_000_000 // (n * 6)) // 8 * 8))
+        n_blocks = -(-n // budget)
+        block_q = max(128, _ceil_to(-(-n // n_blocks), 8))
     lane_blk = hpack * hd
     if h % hpack:
         raise ValueError(f"hpack {hpack} incompatible with H={h}, hd={hd}")

@@ -14,6 +14,17 @@ import numpy as np
 from crossscore_tpu.confsys import Config, load_config, set_key
 
 
+def tristate(value) -> str:
+    """Normalise an on|off|auto config knob. CLI overrides parse with YAML
+    scalar semantics, so ``key=on`` arrives as True and ``key=off`` as False
+    (YAML 1.1 booleans) — compare through this, never against raw strings."""
+    if value is True:
+        return "on"
+    if value is False:
+        return "off"
+    return str(value).lower()
+
+
 def parse_cli(config_name: str, argv: Optional[list[str]] = None) -> Config:
     """Hydra-style CLI: every argument is a ``key.sub=value`` override
     (or ``group=choice`` to swap a config group; ``--help`` prints the

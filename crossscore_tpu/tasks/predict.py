@@ -72,7 +72,9 @@ def predict(cfg) -> Path:
     # datasets share ONE compiled graph per bucket instead of one per aspect
     # ratio — the reference recompiles per shape (task/predict.py:69-93),
     # operationally broken at 10-25 min/compile on TPU.
-    bucket_mode = str(cfg.this_main.get("shape_buckets", "auto"))
+    from crossscore_tpu.tasks.common import tristate
+
+    bucket_mode = tristate(cfg.this_main.get("shape_buckets", "auto"))
     use_buckets = bucket_mode != "off" and cfg.this_main.crop_mode != "dataset_default"
     if use_buckets:
         shapes = {dataset.get_item_shape(i) for i in range(len(dataset))}
@@ -81,7 +83,7 @@ def predict(cfg) -> Path:
 
     n_dev = len(jax.devices())
     k_refs = int(cfg.data.neighbour_config.cross)
-    vp_mode = str(cfg.model.tpu.get("view_parallel", "auto"))
+    vp_mode = tristate(cfg.model.tpu.get("view_parallel", "auto"))
     data_mesh = make_mesh(batch_size=cfg.data.loader.validation.batch_size)
     use_vp = (
         not use_buckets
@@ -97,7 +99,7 @@ def predict(cfg) -> Path:
     # frozen backbone encodes each reference image ONCE per run; queries cost
     # 1 ViT forward instead of 1+K (reference re-encodes refs per query,
     # task/core.py:119-161). Exact — pinned by tests/test_token_cache.py.
-    cache_mode = str(cfg.this_main.get("ref_token_cache", "auto"))
+    cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
     use_cache = (
         cache_mode != "off"
         and not use_vp
@@ -164,25 +166,41 @@ def predict(cfg) -> Path:
         def step(params, query, refs):
             return {"score_map_ref_cross": vp_fn(params, query, refs)}
 
-    elif use_cache:
+    vis_every = cfg.logger.predict.write.config.vis_img_every_n_steps
+    if use_cache:
+        from crossscore_tpu.data import fastimage
         from crossscore_tpu.data.token_cache import RefTokenCache
         from crossscore_tpu.models.crossscore import make_backbone_encoder
         from crossscore_tpu.train.step import make_predict_step_cached
 
+        max_items = int(cfg.this_main.get("ref_token_cache_max_items", 2048))
         encode = jax.jit(make_backbone_encoder(mcfg))
         token_cache = RefTokenCache(
             lambda imgs: encode(params, imgs),
             encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
-            max_items=int(cfg.this_main.get("ref_token_cache_max_items", 2048)),
+            max_items=max_items,
         )
         step_cached = jax.jit(make_predict_step_cached(model))
-        print("reference-token cache: on (frozen backbone, exact)")
+        # skip the HOST DECODE of cache-hit references too (the loader emits
+        # placeholders) when nothing downstream consumes reference pixels and
+        # the whole reference pool fits the cache (no eviction possible)
+        use_skip = (
+            vis_every <= 0
+            and not cfg.logger.predict.write.flag.image_reference
+            and fastimage.available()
+            and hasattr(dataset, "reference_pool_size")
+            and dataset.reference_pool_size() <= max_items
+        )
+        if use_skip:
+            dataset.ref_pixel_skip = token_cache.has
+        print(f"reference-token cache: on (frozen backbone, exact; "
+              f"decode-skip {'on' if use_skip else 'off'})")
 
-        def step(params, query, refs, _batch_paths=None):
-            tokens = token_cache.gather(_batch_paths, refs)
+        def step(params, query, refs, _batch_paths=None, _skipped=None):
+            tokens = token_cache.gather(_batch_paths, refs, skipped=_skipped)
             return step_cached(params, query, tokens)
 
-    else:
+    elif not use_vp:
         step = jax.jit(
             make_predict_step(
                 model,
@@ -191,7 +209,6 @@ def predict(cfg) -> Path:
             )
         )
 
-    vis_every = cfg.logger.predict.write.config.vis_img_every_n_steps
     n_batches = 0
     from crossscore_tpu.tasks.common import resolve_limit
 
@@ -232,6 +249,7 @@ def predict(cfg) -> Path:
                 batch["query/img"],
                 batch["reference/cross/imgs"],
                 _batch_paths=batch["item_paths"]["reference/cross/imgs"],
+                _skipped=batch.get("reference/skipped"),
             )
         else:
             outputs_dev = step(params, batch["query/img"], batch.get("reference/cross/imgs"))
@@ -243,6 +261,11 @@ def predict(cfg) -> Path:
         process(*pending)
 
     summariser.summarise()
+    if use_cache:
+        print(
+            f"ref-token cache: {token_cache.hits} hits, {token_cache.misses} "
+            f"unique misses, {token_cache.skipped_decodes} decode-skips"
+        )
     print(f"predict done: {n_batches} batches -> {out_dir}")
     return out_dir
 

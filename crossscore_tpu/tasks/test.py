@@ -63,7 +63,9 @@ def test(cfg) -> Path:
     # shape bucketing: mixed-aspect test sets share one graph per bucket
     # (see tasks/predict.py / data/bucketing.py); metrics are masked to the
     # valid region inside the jitted step via batch["_valid_hw"]
-    bucket_mode = str(cfg.this_main.get("shape_buckets", "auto"))
+    from crossscore_tpu.tasks.common import tristate
+
+    bucket_mode = tristate(cfg.this_main.get("shape_buckets", "auto"))
     use_buckets = bucket_mode != "off" and cfg.this_main.crop_mode != "dataset_default"
     if use_buckets:
         shapes = {dataset.get_item_shape(i) for i in range(len(dataset))}
@@ -74,7 +76,7 @@ def test(cfg) -> Path:
     # reference image through the frozen backbone once per run — exact, since
     # test-path crops are deterministic per path (deterministic_crop=True
     # above). See tasks/predict.py for the serving-path analogue.
-    cache_mode = str(cfg.this_main.get("ref_token_cache", "auto"))
+    cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
     use_cache = (
         cache_mode != "off"
         and not use_buckets

@@ -67,3 +67,17 @@ class TestLoadConfig:
     def test_group_selection_unknown_choice_raises(self):
         with pytest.raises(FileNotFoundError):
             load_config("default", overrides=["data=not_a_preset."])
+
+
+def test_tristate_normalises_yaml_bool_overrides():
+    """CLI `key=on` / `key=off` parse as YAML booleans; every on|off|auto
+    knob must compare through tasks.common.tristate (regression:
+    `shape_buckets=off` / `ref_token_cache=off` silently meant ON)."""
+    from crossscore_tpu.confsys import parse_value
+    from crossscore_tpu.tasks.common import tristate
+
+    assert parse_value("off") is False and parse_value("on") is True
+    assert tristate(parse_value("off")) == "off"
+    assert tristate(parse_value("on")) == "on"
+    assert tristate(parse_value("auto")) == "auto"
+    assert tristate("AUTO") == "auto"

@@ -131,3 +131,89 @@ class TestLayoutNativeQkv:
         g_f = jax.grad(loss_fused)(qkv)
         g_d = jax.grad(loss_dense)(qkv)
         np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_d), atol=5e-4)
+
+
+class TestLayoutNativeCross:
+    """Layout-native cross-attention on token-major lane-packed projections
+    (ops/flash_attention.py::flash_cross_attention_ln) incl. the zero-padded
+    head dim (decoder hd=48 -> 64) and the decoder module wiring."""
+
+    def _packed(self, rng, b, h, nq, nk, hd):
+        q = jnp.asarray(rng.standard_normal((b, h, nq, hd)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, nk, hd)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, nk, hd)).astype(np.float32))
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], h * hd)
+        return (q, k, v), (pack(q), pack(k), pack(v))
+
+    @pytest.mark.parametrize("nq,nk,bk", [(37, 300, 128), (64, 2100, 1024)])
+    def test_matches_dense_hd64(self, rng, nq, nk, bk):
+        from crossscore_tpu.ops.flash_attention import flash_cross_attention_ln
+
+        (q, k, v), (qp, kp, vp) = self._packed(rng, 2, 2, nq, nk, 64)
+        o = flash_cross_attention_ln(qp, kp, vp, 2, 64, 32, bk)
+        want = dense_attention(q, k, v)
+        want = want.transpose(0, 2, 1, 3).reshape(o.shape)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want), atol=2e-5)
+
+    def test_padded_head_dim_with_prescale(self, rng):
+        """hd=48 padded to 64: zero lanes + q-prescale reproduce the true
+        1/sqrt(48) softmax exactly."""
+        from crossscore_tpu.ops.flash_attention import flash_cross_attention_ln
+
+        b, h, nq, nk, hd = 1, 2, 40, 260, 48
+        (q, k, v), _ = self._packed(rng, b, h, nq, nk, hd)
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 64 - hd)))
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], h * 64)
+        prescale = (64 ** 0.5) / (hd ** 0.5)
+        o = flash_cross_attention_ln(pack(pad(q * prescale)), pack(pad(k)),
+                                     pack(pad(v)), h, 64, 0, 128)
+        want = dense_attention(q, k, v).transpose(0, 2, 1, 3)
+        got = np.asarray(o).reshape(b, nq, h, 64)[..., :hd]
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+        # padded output lanes are exactly zero
+        np.testing.assert_array_equal(np.asarray(o).reshape(b, nq, h, 64)[..., hd:], 0)
+
+    def test_grads_match_dense(self, rng):
+        from crossscore_tpu.ops.flash_attention import flash_cross_attention_ln
+
+        (q, k, v), (qp, kp, vp) = self._packed(rng, 1, 2, 24, 150, 64)
+
+        def loss_ln(qp, kp, vp):
+            return jnp.sum(jnp.square(flash_cross_attention_ln(qp, kp, vp, 2, 64, 0, 128)))
+
+        def loss_dense(qp, kp, vp):
+            un = lambda x: x.reshape(1, x.shape[1], 2, 64).transpose(0, 2, 1, 3)
+            return jnp.sum(jnp.square(dense_attention(un(qp), un(kp), un(vp))))
+
+        g_ln = jax.grad(loss_ln, argnums=(0, 1, 2))(qp, kp, vp)
+        g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(qp, kp, vp)
+        for a, b_ in zip(g_ln, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+    def test_mha_module_parity_and_param_tree(self, rng):
+        """TorchStyleMHA(pallas) routes through the layout-native path with
+        the SAME param tree as the xla path, same outputs, same grads."""
+        from crossscore_tpu.models.decoder import TorchStyleMHA
+
+        query = jnp.asarray(rng.standard_normal((2, 30, 96)).astype(np.float32))
+        memory = jnp.asarray(rng.standard_normal((2, 170, 96)).astype(np.float32))
+        mha_x = TorchStyleMHA(96, 2, jnp.float32, "xla")       # hd=48
+        mha_p = TorchStyleMHA(96, 2, jnp.float32, "pallas")
+        params = mha_x.init(jax.random.PRNGKey(0), query, memory, memory)["params"]
+        params_p = mha_p.init(jax.random.PRNGKey(0), query, memory, memory)["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(params_p)
+        out_x, _ = mha_x.apply({"params": params}, query, memory, memory)
+        out_p, _ = mha_p.apply({"params": params}, query, memory, memory)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=5e-5)
+
+        def loss(fn, p):
+            return jnp.sum(jnp.square(fn.apply({"params": p}, query, memory, memory)[0]))
+
+        g_x = jax.grad(lambda p: loss(mha_x, p))(params)
+        g_p = jax.grad(lambda p: loss(mha_p, p))(params)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3
+            ),
+            g_x, g_p,
+        )

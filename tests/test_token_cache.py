@@ -181,6 +181,99 @@ class TestTestTaskWithCache:
         ]
         out_off = main(common + ["this_main.ref_token_cache=off", "alias=nc"])
         out_on = main(common + ["this_main.ref_token_cache=on", "alias=wc"])
-        csv_off = (out_off / "metrics.csv").read_text()
-        csv_on = (out_on / "metrics.csv").read_text()
-        assert csv_off == csv_on
+        # cached metrics match up to float reduction-order noise: the frozen
+        # backbone runs on (encode_batch) chunks instead of one B*(1+K) call,
+        # and XLA does not guarantee bitwise-equal reductions across batch
+        # shapes (observed ~3e-8 relative on CPU fp32). Everything else is
+        # exact — the predict e2e test pins byte-identical score maps.
+        import pandas as pd
+
+        df_off = pd.read_csv(out_off / "metrics.csv")
+        df_on = pd.read_csv(out_on / "metrics.csv")
+        assert list(df_off["batch_idx"]) == list(df_on["batch_idx"])
+        for col in df_off.columns[1:]:
+            np.testing.assert_allclose(df_on[col], df_off[col],
+                                       rtol=1e-5, atol=1e-6, err_msg=col)
+
+
+class TestDecodeSkip:
+    """Cache-hit references skip the host PNG decode entirely (placeholder
+    pixels; tokens resolve from the cache) — outputs must stay identical."""
+
+    @pytest.fixture(scope="class")
+    def ws(self, tmp_path_factory):
+        from crossscore_tpu.data.synthetic import generate
+
+        root = tmp_path_factory.mktemp("skip_ws")
+        generate(root / "datadir", hw=(84, 112),
+                 scenes_per_split={"train": 1, "val": 1, "test": 1})
+        old = os.getcwd()
+        os.chdir(root)
+        yield root
+        os.chdir(old)
+
+    def test_skip_decode_identical_outputs(self, ws, capsys):
+        from crossscore_tpu.data import fastimage
+        from crossscore_tpu.tasks.predict import main
+
+        if not fastimage.available():
+            pytest.skip("native fastimage unavailable (skip path is fused-only)")
+        common = [
+            "trainer.accelerator=cpu",
+            "model.tpu.compute_dtype=float32",
+            "model.backbone.preset=dinov2-test",
+            "data.neighbour_config.cross=2",
+            "data.dataset.query_dir=datadir/res_540/s00002/test/ours_1000/renders",
+            "data.dataset.reference_dir=datadir/res_540/s00002/train/ours_1000/gt",
+            "data.loader.validation.batch_size=1",  # refs repeat across batches
+            "data.loader.validation.num_workers=1",
+            "this_main.resize_short_side=84",
+            "this_main.ref_token_cache_encode_batch=2",
+            "logger.predict.write.config.vis_img_every_n_steps=-1",
+            "logger.predict.write.flag.image_reference=false",
+        ]
+        out_off = main(common + ["this_main.ref_token_cache=off", "alias=noskip"])
+        out_on = main(common + ["this_main.ref_token_cache=on", "alias=skip"])
+        log = capsys.readouterr().out
+        assert "decode-skip on" in log
+        # NOTE: the decode-skip COUNT is racy vs loader prefetch (a batch may
+        # be decoded before earlier gathers populate the cache), so only the
+        # correctness invariant is asserted here; the deterministic skip
+        # mechanics are pinned by test_skip_mechanism_deterministic below.
+        maps_off = sorted((out_off / "batch" / "score_map_ref_cross").glob("*.png"))
+        maps_on = sorted((out_on / "batch" / "score_map_ref_cross").glob("*.png"))
+        assert len(maps_off) == len(maps_on) == 3
+        for a, b in zip(maps_off, maps_on):
+            assert a.read_bytes() == b.read_bytes(), a.name
+
+    def test_skip_mechanism_deterministic(self, ws, rng):
+        """Direct loop: once a reference's tokens are cached, get_item emits a
+        zero placeholder + skipped flag, and gather resolves the slot from the
+        cache — token-for-token equal to the decoded path."""
+        from crossscore_tpu.data import fastimage
+        from crossscore_tpu.data.simple_reference import SimpleReference
+
+        if not fastimage.available():
+            pytest.skip("native fastimage unavailable (skip path is fused-only)")
+        ds = SimpleReference(
+            query_dir="datadir/res_540/s00002/test/ours_1000/renders",
+            reference_dir="datadir/res_540/s00002/train/ours_1000/gt",
+            neighbour_config={"cross": 2, "strategy": "random"},
+            resize_short_side=84,
+        )
+        counter = {"calls": 0, "images": 0}
+        cache = RefTokenCache(_fake_encoder(counter), encode_batch=2)
+
+        item1 = ds.get_item(0, np.random.default_rng(0))
+        paths = [[p] for p in item1["item_paths"]["reference/cross/imgs"]]
+        toks1 = cache.gather(paths, item1["reference/cross/imgs"][None])
+
+        ds.ref_pixel_skip = cache.has
+        item2 = ds.get_item(0, np.random.default_rng(0))
+        assert item2["reference/skipped"].all()
+        assert not item2["reference/cross/imgs"].any()  # placeholders
+        toks2 = cache.gather(paths, item2["reference/cross/imgs"][None],
+                             skipped=item2["reference/skipped"][None])
+        np.testing.assert_array_equal(toks1, toks2)
+        assert cache.skipped_decodes == 2
+        assert counter["calls"] == 1  # nothing re-encoded on the skip pass
