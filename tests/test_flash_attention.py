@@ -217,3 +217,50 @@ class TestLayoutNativeCross:
             ),
             g_x, g_p,
         )
+
+
+class TestShapeFuzz:
+    """Odd-shape sweep for every kernel family (CPU interpret): edge blocks,
+    non-multiple token counts, 1-token axes, many heads."""
+
+    CASES = [
+        # (b, h, nq, nk, hd)
+        (1, 1, 1, 1, 48),
+        (1, 2, 7, 129, 48),
+        (3, 3, 130, 65, 64),
+        (2, 4, 33, 1025, 32),
+        (1, 6, 200, 391, 64),
+    ]
+
+    @pytest.mark.parametrize("b,h,nq,nk,hd", CASES)
+    def test_head_major_v2(self, rng, b, h, nq, nk, hd):
+        from crossscore_tpu.ops.flash_attention import flash_cross_attention, pick_blocks
+
+        q, k, v = _rand_qkv(rng, b=b, h=h, nq=nq, nk=nk, hd=hd)
+        ours = flash_cross_attention(q, k, v, *pick_blocks(nq, nk))
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(dense_attention(q, k, v)),
+                                   atol=3e-5)
+
+    @pytest.mark.parametrize("b,h,nq,nk,hd", [c for c in CASES if 128 % c[4] == 0 and c[1] % (128 // c[4]) == 0])
+    def test_layout_native_cross(self, rng, b, h, nq, nk, hd):
+        from crossscore_tpu.ops.flash_attention import (
+            flash_cross_attention_ln, pick_cross_ln_blocks,
+        )
+
+        q, k, v = _rand_qkv(rng, b=b, h=h, nq=nq, nk=nk, hd=hd)
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], h * hd)
+        bq, bk = pick_cross_ln_blocks(nq, nk)
+        o = flash_cross_attention_ln(pack(q), pack(k), pack(v), h, hd, bq, bk)
+        want = pack(dense_attention(q, k, v))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want), atol=3e-5)
+
+    @pytest.mark.parametrize("n", [1, 9, 127, 129, 300])
+    def test_layout_native_self(self, rng, n):
+        from crossscore_tpu.ops.flash_attention import _flash_qkv_fwd
+
+        b, h, hd = 2, 2, 64
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * hd)).astype(np.float32))
+        o, _, _ = _flash_qkv_fwd(qkv, h, block_q=0, hpack=2)
+        q, k, v = (qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)[i] for i in range(3))
+        want = dense_attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, h * hd)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want), atol=3e-5)

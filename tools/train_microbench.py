@@ -55,28 +55,42 @@ def main():
     # in-graph loop of N steps with an iteration-dependent input perturbation
     # (PERFORMANCE.md timing rules: per-dispatch timings are unreliable here)
     @jax.jit
-    def loop(state, batch):
+    def loop_state(state, batch):
+        # returns the FULL updated state so successive timed dispatches chain
+        # distinct state inputs (memoisation-proof)
         def body(i, st):
             b2 = dict(batch)
             b2["query/img"] = batch["query/img"] * (
                 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
             )
-            st, metrics = step_fn(st, b2)
-            return st
+            return step_fn(st, b2)[0]
+
         st = jax.lax.fori_loop(0, N_IT, body, state)
-        return st.step, st.params["head_fc2"]["kernel"][0, 0]
+        # the scalar is the timing anchor: block_until_ready on a large
+        # REMOTE pytree does not synchronise through the tunnel — only a
+        # host FETCH of a (small) result does
+        return st, st.params["head_fc2"]["kernel"][0, 0]
 
     t = time.perf_counter()
-    jax.block_until_ready(loop(state, batch))
+    float(loop_state(state, batch)[1])
     print(f"compile+warmup: {time.perf_counter()-t:.0f}s", flush=True)
+    # EVERY input (state included, via one real update) differs per timed
+    # dispatch: readings of a few ms for a 144-image train loop have been
+    # observed when only one operand varies — the relay's memoisation does
+    # not appear to hash large device buffers.
+    state = jax.block_until_ready(jax.jit(step_fn)(state, batch)[0])
     dts = []
-    for mult in (0.75, 1.0):
-        b2 = dict(batch)
-        b2["query/img"] = batch["query/img"] * jnp.bfloat16(mult)
+    for mult in (0.6, 0.75, 0.9, 1.0):
+        b2 = {k2: v * jnp.asarray(mult, v.dtype) for k2, v in batch.items()}
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(state, b2))
+        state, anchor = loop_state(state, b2)
+        float(anchor)  # host fetch = the only reliable synchronisation
         dts.append(time.perf_counter() - t0)
     dt = max(dts) / N_IT
+    floor_s = N_IT * batch_size * (1 + k) * 0.0005  # >=0.5 ms per 518px image
+    if max(dts) < floor_s:
+        print(f"WARNING: reading {max(dts)*1e3:.0f}ms < sanity floor "
+              f"{floor_s*1e3:.0f}ms — likely memoised, do not trust")
     print(
         f"train step B={batch_size} K={k} {hw}px: {dt*1e3:.0f} ms/step "
         f"(runs {dts[0]*1e3:.0f}/{dts[1]*1e3:.0f}ms over {N_IT} steps)",
