@@ -30,6 +30,11 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 K_REFS = int(os.environ.get("BENCH_K", 8))
 HW = int(os.environ.get("BENCH_HW", 518))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
+# BENCH_CACHED=1: the cached-reference SERVING operating point — reference
+# tokens precomputed (the token cache warm), each map costs 1 query forward +
+# the decoder. NOT the headline metric (the reference re-encodes refs per
+# item, task/core.py:119-161); reported separately in PERFORMANCE.md.
+CACHED = bool(int(os.environ.get("BENCH_CACHED", "0")))
 
 
 def main() -> None:
@@ -59,27 +64,51 @@ def main() -> None:
         jax.random.PRNGKey(0), query[:1, :70, :70], refs[:1, :, :70, :70]
     )["params"]
 
-    @jax.jit
-    def loop(query, refs):
-        def body(i, carry):
-            q = query * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
-            out = model.apply({"params": params}, q, refs)
-            return carry + out["score_map_ref_cross"][0, 0, 0].astype(jnp.float32)
+    if CACHED:
+        from crossscore_tpu.models.crossscore import make_backbone_encoder
 
-        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
+        encode = jax.jit(make_backbone_encoder(mcfg))
+        tokens = encode(params, refs.reshape(BATCH * K_REFS, HW, HW, 3))
+        tokens = tokens.reshape(BATCH, K_REFS, *tokens.shape[1:])
+
+        @jax.jit
+        def loop(query, tokens):
+            def body(i, carry):
+                q = query * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+                out = model.apply({"params": params}, q, None, ref_tokens=tokens)
+                return carry + out["score_map_ref_cross"][0, 0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
+
+        args = (query, tokens)
+        metric = "518px score-maps/sec/chip, 8 refs, WARM token cache (serving)"
+    else:
+
+        @jax.jit
+        def loop(query, refs):
+            def body(i, carry):
+                q = query * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+                out = model.apply({"params": params}, q, refs)
+                return carry + out["score_map_ref_cross"][0, 0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
+
+        args = (query, refs)
+        metric = "518px query score-maps/sec/chip at 8 ref views"
 
     # warm up with DIFFERENT input values: the execution relay memoises
-    # repeated identical (program, inputs) dispatches in this environment
-    loop(query * jnp.bfloat16(0.5), refs).block_until_ready()
+    # repeated identical (program, inputs) dispatches in this environment;
+    # the returned scalar's host fetch is the synchronisation barrier
+    float(loop(args[0] * jnp.bfloat16(0.5), args[1]))
     t0 = time.perf_counter()
-    loop(query, refs).block_until_ready()
+    float(loop(*args))
     dt = (time.perf_counter() - t0) / N_ITERS
 
     maps_per_sec = BATCH / dt
     print(
         json.dumps(
             {
-                "metric": "518px query score-maps/sec/chip at 8 ref views",
+                "metric": metric,
                 "value": round(maps_per_sec, 2),
                 "unit": "maps/s",
                 "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC_A5000, 2),

@@ -107,6 +107,9 @@ def predict(cfg) -> Path:
         and not cfg.model.need_attn_weights
         and k_refs > 0
         and not cfg.data.dataset.zero_reference
+        # multi-host: the cached batch stays host-local (sharding=None);
+        # global-batch semantics would need sharded device_put of the tokens
+        and jax.process_count() == 1
     )
     if use_vp:
         print(f"view-parallel predict: K={k_refs} refs sharded over {n_dev} devices")

@@ -82,6 +82,9 @@ def test(cfg) -> Path:
         and not use_buckets
         and int(cfg.data.neighbour_config.cross) > 0
         and not cfg.data.dataset.zero_reference
+        # multi-host: the cached batch stays host-local (sharding=None);
+        # global-batch semantics would need sharded device_put of the tokens
+        and jax.process_count() == 1
     )
     loader_kw = dict(
         batch_size=cfg.data.loader.validation.batch_size,

@@ -42,7 +42,36 @@ def main():
         def bf16_mm(x, w):
             return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-        for name, mm in [("bf16", bf16_mm), ("int8", int8_matmul)]:
+        # static-scale variants: weights pre-quantized (constant-folded in a
+        # frozen backbone), activations quantized with a FIXED scalar scale
+        # (one fused mul+clip+round+cast pass, no absmax reduce)
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32) * 127.0), -127, 127).astype(jnp.int8)
+        w_scale = jnp.float32(1 / 127.0)
+        x_scale = jnp.float32(4.0 / 127.0)  # pretend |x|<=4 calibration
+
+        def int8_static(x, w_unused):
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / x_scale)),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(jnp.bfloat16)
+
+        xq0 = jnp.clip(jnp.round(rng.standard_normal((m, k)) * 31), -127, 127
+                       ).astype(jnp.int8)
+
+        def int8_pure(x, w_unused):
+            # both operands already int8: the raw int8 MXU bound (the x*scale
+            # perturbation below keeps bf16 x alive; we use xq0 via closure
+            # with an int8 perturbation to stay memoisation-proof)
+            # the tiny multiplier keeps a real data dependence on the traced,
+            # per-iteration x (a *0 would constant-fold and CSE the loop away)
+            xx = xq0 + (x[0, 0] * jnp.bfloat16(1e-30)).astype(jnp.int8)
+            y = jax.lax.dot_general(xx, wq, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * w_scale).astype(jnp.bfloat16)
+
+        for name, mm in [("bf16", bf16_mm), ("int8", int8_matmul),
+                         ("int8_static", int8_static), ("int8_pure", int8_pure)]:
             @jax.jit
             def loop(x, w, _mm=mm):
                 def body(i, c):
