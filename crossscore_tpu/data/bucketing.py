@@ -42,7 +42,13 @@ def _pad_hw(x: np.ndarray, h: int, w: int, h_axis: int) -> np.ndarray:
 
 class ShapeBucketedLoader(Loader):
     """Inference loader over mixed-shape datasets (shuffle is meaningless
-    here — iteration is shape-group-major to maximise graph reuse)."""
+    here — iteration is bucket-major to maximise graph reuse).
+
+    Batches PACK items of different shapes that round up to the same bucket
+    (each item padded right/bottom individually); ``_valid_hw`` is PER-ITEM
+    (B, 2) and the model masks per item. Mixed-aspect datasets with many
+    sparse shape groups therefore fill batches instead of padding each group
+    to the batch size by duplication."""
 
     def __init__(self, dataset, batch_size: int, bucket_multiple: int = 112, **kw):
         kw.setdefault("pad_last", True)
@@ -56,27 +62,29 @@ class ShapeBucketedLoader(Loader):
     def _plan(self, epoch: int) -> list:
         groups: dict = defaultdict(list)
         for i, s in enumerate(self._shapes):
-            groups[s].append(i)
+            groups[bucket_hw(*s, self.bucket_multiple)].append(i)
         plan = []
-        for shape in sorted(groups):
-            idxs = groups[shape]
+        for bucket in sorted(groups):
+            idxs = groups[bucket]
             for start in range(0, len(idxs), self.batch_size):
                 chunk = np.asarray(idxs[start : start + self.batch_size])
-                plan.append((chunk, len(chunk), {"valid_hw": shape}))
+                plan.append((chunk, len(chunk), {"bucket": bucket}))
         return plan
 
-    def _finalize(self, batch: dict, extra) -> dict:
-        h, w = extra["valid_hw"]
-        bh, bw = bucket_hw(h, w, self.bucket_multiple)
-        out = {}
-        for k, v in batch.items():
-            if k == "item_paths":
-                out[k] = v
-            elif k in ("query/img", "reference/cross/imgs"):
-                out[k] = _pad_hw(v, bh, bw, v.ndim - 3)
-            elif k == "query/score_map":
-                out[k] = _pad_hw(v, bh, bw, v.ndim - 2)
-            else:
-                out[k] = v
-        out["_valid_hw"] = np.asarray([h, w], np.int32)
+    def _pre_collate(self, items: list, extra) -> list:
+        bh, bw = extra["bucket"]
+        out = []
+        for it in items:
+            it2 = dict(it)
+            h, w = it["query/img"].shape[:2]
+            for k in ("query/img", "reference/cross/imgs"):
+                if k in it2 and it2[k] is not None:
+                    it2[k] = _pad_hw(it2[k], bh, bw, it2[k].ndim - 3)
+            if "query/score_map" in it2:
+                it2["query/score_map"] = _pad_hw(
+                    it2["query/score_map"], bh, bw,
+                    it2["query/score_map"].ndim - 2,
+                )
+            it2["_valid_hw"] = np.asarray([h, w], np.int32)  # collates (B, 2)
+            out.append(it2)
         return out

@@ -132,6 +132,11 @@ class Loader:
         """Post-collate hook (subclasses pad to shape buckets here)."""
         return batch
 
+    def _pre_collate(self, items: list, extra) -> list:
+        """Per-item hook before collation (subclasses pad mixed-shape items
+        to a common bucket here so they stack)."""
+        return items
+
     def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator[dict]:
         """Yield collated (optionally device-sharded) batches for one epoch.
 
@@ -176,7 +181,9 @@ class Loader:
                     )
                     if len(items) < bs and self.pad_last:
                         items = items + [items[-1]] * (bs - len(items))
-                    batch = self._finalize(collate(items), extra)
+                    batch = self._finalize(
+                        collate(self._pre_collate(items, extra)), extra
+                    )
                     batch["_valid"] = np.asarray(n_valid, np.int32)
                     if self.sharding is not None:
                         import jax

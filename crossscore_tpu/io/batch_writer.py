@@ -65,7 +65,11 @@ class BatchWriter:
 
     # ------------------------------------------------------------------ api
 
-    def write_out(self, batch_input: dict, batch_output: dict, local_rank: int, batch_idx: int):
+    def write_out(self, batch_input: dict, batch_output: dict, local_rank: int,
+                  batch_idx: int, item_offset: int = 0):
+        """``item_offset`` shifts the ``b{i}`` filename index — used when a
+        bucket-PACKED batch (per-item shapes) is written one item at a time."""
+        self._item_offset = item_offset
         n_valid = int(batch_input.get("_valid", len(batch_input["item_paths"]["query/img"])))
         if self.write_flag["score_map_prediction"]:
             self._write_score_maps(batch_input, batch_output, local_rank, batch_idx, n_valid)
@@ -84,8 +88,10 @@ class BatchWriter:
 
     def _names(self, batch_input, local_rank, batch_idx, n_valid):
         qpaths = batch_input["item_paths"]["query/img"][:n_valid]
+        off = getattr(self, "_item_offset", 0)  # per-item bucket-packed writes
         return [
-            (b, f"r{local_rank}_B{batch_idx:04}_b{b:03}_{_mangle(p)}") for b, p in enumerate(qpaths)
+            (b, f"r{local_rank}_B{batch_idx:04}_b{b + off:03}_{_mangle(p)}")
+            for b, p in enumerate(qpaths)
         ]
 
     def _write_map(self, out_path: Path, score_map: np.ndarray):

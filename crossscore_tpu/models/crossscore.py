@@ -159,15 +159,38 @@ class CrossScoreNet(nn.Module):
             all_imgs = all_imgs.reshape(b * (1 + k_ref), hgt, wdt, 3)
 
         valid_grid = None
+        enc_valid_grid = None
         tok_bias = None
+        per_item = False
         if valid_hw is not None:
-            gh_v = valid_hw[0] // p
-            gw_v = valid_hw[1] // p
-            valid_grid = (gh_v, gw_v)
-            rr = jnp.arange(gh)[:, None] < gh_v
-            cc = jnp.arange(gw)[None, :] < gw_v
-            # -1e30 not -inf/-0.7*fmax: kernels scale biases by log2(e)
-            tok_bias = jnp.where((rr & cc).reshape(-1), 0.0, -1e30).astype(jnp.float32)
+            per_item = hasattr(valid_hw, "ndim") and valid_hw.ndim == 2
+            if per_item:
+                # (B, 2) PER-ITEM valid sizes: bucket-packed batches mixing
+                # shapes. The encoder sees one grid per VIEW (each item's K
+                # refs share the item's shape, data/bucketing.py).
+                gh_v = valid_hw[:, 0] // p  # (B,)
+                gw_v = valid_hw[:, 1] // p
+                valid_grid = (gh_v, gw_v)
+                n_enc_views = 1 if ref_tokens is not None else 1 + k_ref
+                enc_valid_grid = (
+                    jnp.repeat(gh_v, n_enc_views), jnp.repeat(gw_v, n_enc_views)
+                )
+                rr = jnp.arange(gh)[None, :, None] < gh_v[:, None, None]
+                cc = jnp.arange(gw)[None, None, :] < gw_v[:, None, None]
+                # -1e30 not -inf/-0.7*fmax: kernels scale biases by log2(e)
+                tok_bias = jnp.where(
+                    (rr & cc).reshape(b, -1), 0.0, -1e30
+                ).astype(jnp.float32)
+            else:
+                gh_v = valid_hw[0] // p
+                gw_v = valid_hw[1] // p
+                valid_grid = (gh_v, gw_v)
+                enc_valid_grid = valid_grid
+                rr = jnp.arange(gh)[:, None] < gh_v
+                cc = jnp.arange(gw)[None, :] < gw_v
+                tok_bias = jnp.where(
+                    (rr & cc).reshape(-1), 0.0, -1e30
+                ).astype(jnp.float32)
 
         # cp:<axis> is decoder-cross-attention-only; the backbone always runs
         # local attention (its views are whole per-chip under view parallelism)
@@ -180,7 +203,7 @@ class CrossScoreNet(nn.Module):
             quant=c.backbone_quant,
             mlp_impl=c.mlp_impl,
             name="backbone",
-        )(all_imgs, valid_grid)
+        )(all_imgs, enc_valid_grid)
         tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone
         if ref_tokens is not None:
             tokens = jnp.concatenate(
@@ -200,7 +223,9 @@ class CrossScoreNet(nn.Module):
 
             cross_bias = None
             if tok_bias is not None:
-                cross_bias = jnp.tile(tok_bias, k_ref)  # same mask per view
+                # same mask per view (each item's refs share the item's shape)
+                reps = (1, k_ref) if per_item else k_ref
+                cross_bias = jnp.tile(tok_bias, reps)
 
             decoded, mha_weights = CrossReferenceDecoder(
                 d_model=d,

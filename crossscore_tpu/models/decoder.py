@@ -210,13 +210,15 @@ class TorchStyleMHA(nn.Module):
             out, probs = dense_attention(q, k, v, kv_bias=kv_bias, return_probs=True)
         elif kv_bias is not None:
             # shape-bucketed inference: padded tokens masked via additive bias
-            if self.attention_impl == "pallas":
+            if self.attention_impl == "pallas" and kv_bias.ndim == 1:
                 from crossscore_tpu.ops.flash_attention import (
                     flash_cross_attention_masked, pick_blocks,
                 )
 
                 out = flash_cross_attention_masked(q, k, v, kv_bias, *pick_blocks(nq, nk))
             else:
+                # per-item (B, Nk) masks are served by the layout-native path
+                # above; reaching here means an exotic head config — dense
                 out = dense_attention(q, k, v, kv_bias=kv_bias)
         elif self.attention_impl.startswith("cp:"):
             # context parallel: k/v are the LOCAL shard of the reference axis;

@@ -127,6 +127,13 @@ class ViTAttention(nn.Module):
 
                 if kv_bias is None:
                     out = flash_cross_attention(q, k, v, *pick_blocks(n, n))
+                elif kv_bias.ndim == 2:
+                    # per-item masks need the layout-native kernel; this
+                    # head-major branch only serves presets whose head pack
+                    # misses the 128-lane block — dense is fine there
+                    from crossscore_tpu.ops.attention import dense_attention
+
+                    out = dense_attention(q, k, v, kv_bias=kv_bias)
                 else:
                     out = flash_cross_attention_masked(
                         q, k, v, kv_bias, *pick_blocks(n, n)
@@ -255,7 +262,16 @@ class Dinov2Encoder(nn.Module):
             nn.initializers.truncated_normal(0.02),
             (1, 1 + native * native, c.hidden_size),
         )
-        if valid_grid is not None:
+        if valid_grid is not None and jnp.ndim(valid_grid[0]) == 1:
+            # PER-ITEM valid grids (bucket-packed batches mixing shapes):
+            # one dynamic interpolation per image, vmapped over the batch
+            from crossscore_tpu.ops.interpolate import interpolate_bicubic_dyn
+
+            grid = pos_embed[0, 1:].reshape(native, native, c.hidden_size)
+            patch_pos = jax.vmap(
+                lambda vh, vw: interpolate_bicubic_dyn(grid, gh, gw, vh, vw)
+            )(valid_grid[0], valid_grid[1]).reshape(b, n, c.hidden_size)
+        elif valid_grid is not None:
             from crossscore_tpu.ops.interpolate import interpolate_bicubic_dyn
 
             grid = pos_embed[0, 1:].reshape(native, native, c.hidden_size)
@@ -275,11 +291,18 @@ class Dinov2Encoder(nn.Module):
         if valid_grid is not None:
             # -1e30 (not -0.7*fmax): the kernels scale the bias by log2(e),
             # which must not overflow fp32; exp2(-1e30 * log2e) is still 0.
-            rr = jnp.arange(gh)[:, None] < valid_grid[0]
-            cc = jnp.arange(gw)[None, :] < valid_grid[1]
-            tok_valid = jnp.concatenate(
-                [jnp.ones((1,), bool), (rr & cc).reshape(-1)]
-            )  # CLS + patches
+            if jnp.ndim(valid_grid[0]) == 1:  # per-item: (B, 1+N) bias
+                rr = jnp.arange(gh)[None, :, None] < valid_grid[0][:, None, None]
+                cc = jnp.arange(gw)[None, None, :] < valid_grid[1][:, None, None]
+                tok_valid = jnp.concatenate(
+                    [jnp.ones((b, 1), bool), (rr & cc).reshape(b, -1)], axis=1
+                )  # CLS + patches
+            else:
+                rr = jnp.arange(gh)[:, None] < valid_grid[0]
+                cc = jnp.arange(gw)[None, :] < valid_grid[1]
+                tok_valid = jnp.concatenate(
+                    [jnp.ones((1,), bool), (rr & cc).reshape(-1)]
+                )  # CLS + patches
             kv_bias = jnp.where(tok_valid, 0.0, -1e30).astype(jnp.float32)
 
         # --- transformer blocks ---

@@ -44,11 +44,23 @@ class MultiViewPositionalEmbedding(nn.Module):
         pe = self.param(
             "pe", nn.initializers.normal(1.0), (self.pe_h, self.pe_w, self.hidden_size)
         )
+        b = tokens.shape[0]
         if valid_grid is not None:
+            import jax
+
             from crossscore_tpu.ops.interpolate import (
                 interpolate_bilinear_align_corners_dyn,
             )
 
+            if jnp.ndim(valid_grid[0]) == 1:  # per-item (B,) valid grids
+                pe_hw = jax.vmap(
+                    lambda vh, vw: interpolate_bilinear_align_corners_dyn(
+                        pe, grid_h, grid_w, vh, vw
+                    )
+                )(valid_grid[0], valid_grid[1])  # (B, gh, gw, C)
+                x = tokens.reshape(b, n_view, grid_h, grid_w, self.hidden_size)
+                x = x + pe_hw.astype(tokens.dtype)[:, None]
+                return x.reshape(b, n_view * grid_h * grid_w, self.hidden_size)
             pe_hw = interpolate_bilinear_align_corners_dyn(
                 pe, grid_h, grid_w, valid_grid[0], valid_grid[1]
             )
@@ -56,7 +68,6 @@ class MultiViewPositionalEmbedding(nn.Module):
             pe_hw = pe
         else:
             pe_hw = interpolate_bilinear_align_corners(pe, grid_h, grid_w)
-        b = tokens.shape[0]
         x = tokens.reshape(b, n_view, grid_h, grid_w, self.hidden_size)
         x = x + pe_hw.astype(tokens.dtype)[None, None]
         return x.reshape(b, n_view * grid_h * grid_w, self.hidden_size)

@@ -22,8 +22,9 @@ def dense_attention(
 ):
     """(B, H, Nq, hd) x (B, H, Nk, hd) -> (B, H, Nq, hd) dense attention.
 
-    ``kv_bias``: optional additive logits bias over the KV axis (any shape
-    broadcastable to (B, H, Nq, Nk), typically (Nk,)) — used to mask padded
+    ``kv_bias``: optional additive logits bias over the KV axis — (Nk,)
+    shared, or (B, Nk) PER-ITEM (bucket-packed batches mixing shapes), or
+    anything already broadcastable to (B, H, Nq, Nk). Used to mask padded
     tokens under shape-bucketed inference (0 valid / -large padded).
     """
     hd = q.shape[-1]
@@ -31,6 +32,8 @@ def dense_attention(
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if kv_bias is not None:
+        if kv_bias.ndim == 2:  # (B, Nk) per-item
+            kv_bias = kv_bias[:, None, None, :]
         logits = logits + kv_bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)

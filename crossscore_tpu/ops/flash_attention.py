@@ -288,7 +288,13 @@ def _flash_fwd(q, k, v, block_q: int = 512, block_k: int = 1024, block_h: int = 
 
     ``kv_bias``: optional (Nk,) additive logits bias (token masking for
     shape-bucketed inference); merged with the block-padding mask. v2 only.
+    Per-item (B, Nk) masking lives in the layout-native kernels
+    (flash_cross_attention_ln_masked / flash_qkv_self_attention_masked).
     """
+    if kv_bias is not None and kv_bias.ndim != 1:
+        raise NotImplementedError(
+            "per-item kv_bias requires the layout-native kernels"
+        )
     b, h, nq, hd = q.shape
     nk = k.shape[2]
     sm_scale = 1.0 / (hd ** 0.5)
@@ -660,7 +666,7 @@ def tp_flash_cross_attention(q, k, v, axis: str):
 
 def _fwd_kernel_cross_ln(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
                          m_scr, l_scr, acc_scr, *, c1: float, hd: int,
-                         hpack: int):
+                         hpack: int, per_item: bool = False):
     """Layout-native CROSS-attention kernel (decoder): q/k/v arrive token-major
     with the head axis packed into lanes at a PADDED head dim (hd zero-padded
     so ``hpack`` heads fill one 128-lane block — zero lanes change nothing:
@@ -681,13 +687,15 @@ def _fwd_kernel_cross_ln(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
+    # per_item: the bias block holds ALL batch rows (see _fwd_kernel_qkv_biased)
+    bias_row = bias_ref[pl.program_id(0)] if per_item else bias_ref[0]
     for j in range(hpack):
         q = q_ref[0][:, j * hd:(j + 1) * hd]
         k = k_ref[0][:, j * hd:(j + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
-        t = s * c1 + bias_ref[0]
+        t = s * c1 + bias_row
         m_prev = m_scr[j]
         l_prev = l_scr[j]
         m_curr = jnp.max(t, axis=1, keepdims=True)
@@ -735,19 +743,29 @@ def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
         kp = jnp.pad(kp, ((0, 0), (0, pad), (0, 0)))
         vp = jnp.pad(vp, ((0, 0), (0, pad), (0, 0)))
     bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF)
-    if kv_bias is not None:
-        bias = bias + jnp.pad(kv_bias.astype(jnp.float32) * LOG2E, (0, nk_p - nk))
-    bias = bias.astype(jnp.float32).reshape(1, nk_p)
+    per_item = kv_bias is not None and kv_bias.ndim == 2
+    if per_item:  # (B, Nk) per-item; full batch rows per block (Mosaic tiling)
+        bias = bias[None] + jnp.pad(
+            kv_bias.astype(jnp.float32) * LOG2E, ((0, 0), (0, nk_p - nk))
+        )
+        bias = bias.astype(jnp.float32)
+        bias_spec = pl.BlockSpec((b, block_k), lambda b_, p, qi, ki: (0, ki))
+    else:
+        if kv_bias is not None:
+            bias = bias + jnp.pad(kv_bias.astype(jnp.float32) * LOG2E, (0, nk_p - nk))
+        bias = bias.astype(jnp.float32).reshape(1, nk_p)
+        bias_spec = pl.BlockSpec((1, block_k), lambda b_, p, qi, ki: (0, ki))
 
     grid = (b, nlb, pl.cdiv(nq, block_q), nk_p // block_k)
     kernel = functools.partial(
-        _fwd_kernel_cross_ln, c1=sm_scale * LOG2E, hd=hd, hpack=hpack
+        _fwd_kernel_cross_ln, c1=sm_scale * LOG2E, hd=hd, hpack=hpack,
+        per_item=per_item,
     )
     o, l, m = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda b_, p, qi, ki: (0, ki)),
+            bias_spec,
             pl.BlockSpec((1, block_q, LANES), lambda b_, p, qi, ki: (b_, qi, p)),
             pl.BlockSpec((1, block_k, LANES), lambda b_, p, qi, ki: (b_, ki, p)),
             pl.BlockSpec((1, block_k, LANES), lambda b_, p, qi, ki: (b_, ki, p)),
@@ -856,18 +874,22 @@ def pick_qkv_hpack(h: int, hd: int) -> int:
 
 
 def _fwd_kernel_qkv_biased(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
-                           sm_scale: float, hd: int, hpack: int):
+                           sm_scale: float, hd: int, hpack: int,
+                           per_item: bool = False):
     """Layout-native kernel with an additive KV-token bias row (shape-bucketed
     inference: 0 for valid tokens, -large for padded ones). One extra FMA pass
-    over the score tile vs ``_fwd_kernel_qkv``."""
+    over the score tile vs ``_fwd_kernel_qkv``. ``per_item``: the bias block
+    holds ALL batch rows (Mosaic rejects (1, n) blocks of a (B, n) array when
+    n is not lane-aligned); the kernel selects its row by program_id."""
     c1 = sm_scale * LOG2E
+    bias_row = bias_ref[pl.program_id(0)] if per_item else bias_ref[0]
     for j in range(hpack):
         q = q_ref[0][:, j * hd:(j + 1) * hd]
         k = k_ref[0][:, j * hd:(j + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        t = s * c1 + bias_ref[0]
+        t = s * c1 + bias_row
         m = jnp.max(t, axis=1, keepdims=True)
         p = jnp.exp2(t - m).astype(v_ref.dtype)
         l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
@@ -1059,8 +1081,18 @@ def _flash_qkv_fwd(qkv, num_heads: int, block_q: int = 0, hpack: int = 2,
         kernel = functools.partial(
             _fwd_kernel_qkv_biased, sm_scale=sm_scale, hd=hd, hpack=hpack
         )
-        bias_row = (kv_bias.astype(jnp.float32) * LOG2E).reshape(1, n)
-        in_specs = [pl.BlockSpec((1, n), lambda b_, p, qi: (0, 0))] + in_specs
+        if kv_bias.ndim == 2:  # (B, N) per-item (bucket-packed mixed shapes)
+            # full-array block (Mosaic rejects (1, n) blocks of (B, n) when n
+            # is not lane-aligned); the kernel indexes its row by program_id
+            kernel = functools.partial(
+                _fwd_kernel_qkv_biased, sm_scale=sm_scale, hd=hd, hpack=hpack,
+                per_item=True,
+            )
+            bias_row = kv_bias.astype(jnp.float32) * LOG2E
+            in_specs = [pl.BlockSpec((b, n), lambda b_, p, qi: (0, 0))] + in_specs
+        else:
+            bias_row = (kv_bias.astype(jnp.float32) * LOG2E).reshape(1, n)
+            in_specs = [pl.BlockSpec((1, n), lambda b_, p, qi: (0, 0))] + in_specs
         inputs = (bias_row,) + inputs
     o, l, m = pl.pallas_call(
         kernel,

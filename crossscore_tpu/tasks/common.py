@@ -187,6 +187,36 @@ def crop_bucketed(batch: dict, outputs: dict) -> tuple[dict, dict]:
     return b2, o2
 
 
+def iter_bucketed_items(batch: dict, outputs: dict):
+    """Split a bucket-PACKED batch (per-item ``_valid_hw`` of shape (B, 2),
+    data/bucketing.py) into individually-cropped B=1 slices for host-side
+    consumers (summariser/writer/visualiser — none of which can represent a
+    batch of mixed image sizes as one array). Yields (i, item_batch,
+    item_outputs) for the valid (non-padding-duplicate) items."""
+    import numpy as np
+
+    n_valid = int(batch.get("_valid", len(batch["item_paths"]["query/img"])))
+    vhw = np.asarray(batch["_valid_hw"])
+
+    def slice_item(tree, i):
+        if isinstance(tree, dict):
+            return {k: slice_item(v, i) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [tree[i]]
+        arr = np.asarray(tree)
+        if arr.ndim == 0:
+            return tree
+        return arr[i:i + 1]
+
+    for i in range(n_valid):
+        b1 = {k: slice_item(v, i) for k, v in batch.items()
+              if k not in ("_valid", "_valid_hw")}
+        b1["_valid"] = np.asarray(1, np.int32)
+        b1["_valid_hw"] = vhw[i]
+        o1 = {k: np.asarray(v)[i:i + 1] for k, v in outputs.items()}
+        yield i, *crop_bucketed(b1, o1)
+
+
 def all_process_weighted_mean(series: list, weights: list) -> list:
     """Weighted means of one or more metric series, all-reduced across hosts.
 

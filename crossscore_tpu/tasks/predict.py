@@ -220,7 +220,24 @@ def predict(cfg) -> Path:
     def process(batch_idx, batch, outputs_dev):
         # materialising blocks on the device; everything after is host-side
         outputs = {k: np.asarray(v, dtype=np.float32) for k, v in outputs_dev.items()}
-        from crossscore_tpu.tasks.common import crop_bucketed
+        from crossscore_tpu.tasks.common import crop_bucketed, iter_bucketed_items
+
+        vhw = batch.get("_valid_hw")
+        if vhw is not None and np.ndim(vhw) == 2:
+            # bucket-PACKED batch (mixed item shapes): consumers take
+            # individually-cropped B=1 slices
+            for i, b1, o1 in iter_bucketed_items(batch, outputs):
+                summariser.update(batch_input=b1, batch_output=o1)
+                if i == 0 and vis_every > 0 and batch_idx % vis_every == 0:
+                    import matplotlib.pyplot as plt
+
+                    fig = visualiser.vis(b1, o1)
+                    fig.savefig(out_dir / "vis" / f"r{jax.process_index()}_B{batch_idx:04}_b0.png")
+                    plt.close(fig)
+                if writer is not None:
+                    writer.write_out(b1, o1, local_rank=jax.process_index(),
+                                     batch_idx=batch_idx, item_offset=i)
+            return
 
         batch, outputs = crop_bucketed(batch, outputs)
         summariser.update(batch_input=batch, batch_output=outputs)

@@ -57,10 +57,18 @@ def _weights(batch, shape) -> "jnp.ndarray | None":
     if valid is not None:
         w = w * (jnp.arange(b) < valid).astype(jnp.float32)[:, None, None]
     if valid_hw is not None:
-        ch = (valid_hw[0] // 14) * 14
-        cw = (valid_hw[1] // 14) * 14
-        region = (jnp.arange(hgt)[:, None] < ch) & (jnp.arange(wdt)[None, :] < cw)
-        w = w * region.astype(jnp.float32)[None]
+        if jnp.ndim(valid_hw) == 2:  # (B, 2) per-item (bucket-packed)
+            ch = (valid_hw[:, 0] // 14) * 14  # (B,)
+            cw = (valid_hw[:, 1] // 14) * 14
+            region = (jnp.arange(hgt)[None, :, None] < ch[:, None, None]) & (
+                jnp.arange(wdt)[None, None, :] < cw[:, None, None]
+            )
+            w = w * region.astype(jnp.float32)
+        else:
+            ch = (valid_hw[0] // 14) * 14
+            cw = (valid_hw[1] // 14) * 14
+            region = (jnp.arange(hgt)[:, None] < ch) & (jnp.arange(wdt)[None, :] < cw)
+            w = w * region.astype(jnp.float32)[None]
     return w
 
 
@@ -73,7 +81,9 @@ def loss_fn(model: CrossScoreNet, params, batch):
         # cached-reference eval (tasks/test.py + data/token_cache.py): the
         # batch carries precomputed reference tokens instead of pixels
         ref_tokens=batch.get("reference/cross/tokens"),
-        valid_hw=None if valid_hw is None else (valid_hw[0], valid_hw[1]),
+        # (2,) shared or (B, 2) per-item; the model branches on ndim
+        valid_hw=None if valid_hw is None
+        else (valid_hw if jnp.ndim(valid_hw) == 2 else (valid_hw[0], valid_hw[1])),
     )
     pred = out["score_map_ref_cross"]
     gt = batch["query/score_map"]
@@ -133,13 +143,17 @@ def make_eval_step(model: CrossScoreNet) -> Callable:
 
 def make_predict_step(model: CrossScoreNet, need_attn_weights: bool = False, head_id: int = 0):
     def predict_step(params, query_img, ref_imgs, valid_hw=None):
+        if valid_hw is not None:
+            valid_hw = (
+                valid_hw if jnp.ndim(valid_hw) == 2 else (valid_hw[0], valid_hw[1])
+            )
         return model.apply(
             {"params": params},
             query_img,
             ref_imgs,
             need_attn_weights=need_attn_weights,
             need_attn_weights_head_id=head_id,
-            valid_hw=None if valid_hw is None else (valid_hw[0], valid_hw[1]),
+            valid_hw=valid_hw,
         )
 
     return predict_step

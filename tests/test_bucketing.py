@@ -97,9 +97,11 @@ def test_mixed_aspect_test_cli(tmp_path):
     with open(out_dir / "metrics.csv") as f:
         rows = list(_csv.DictReader(f))
     data_rows = [r for r in rows if r["batch_idx"] != "mean"]
-    # 2 test scenes x (4 gs_train + 3 gs_test query frames) = 14 items,
-    # grouped by the 2 shapes -> 4 batches per group at batch_size=2
-    assert len(data_rows) == 8
+    # 2 test scenes x (4 gs_train + 3 gs_test query frames) = 14 items; both
+    # shapes round up to the SAME (112, 112) bucket, and bucket-PACKED
+    # batches mix them -> ceil(14/2) = 7 batches (8 under the old
+    # exact-shape grouping — one graph AND fewer padded batches now)
+    assert len(data_rows) == 7
     assert all(np.isfinite(float(r["test/loss"])) for r in data_rows)
     csvs = list((out_dir / "score_summary").rglob("*.csv"))
     assert csvs
@@ -129,3 +131,28 @@ def test_one_graph_serves_all_shapes_in_bucket(model_and_params):
         )
         fwd(q, r, jnp.asarray(h, jnp.int32), jnp.asarray(w, jnp.int32))
     assert fwd._cache_size() == 1
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_per_item_valid_hw_matches_unpadded(impl, rng):
+    """A bucket-PACKED batch mixing two shapes (per-item (B, 2) valid_hw)
+    equals the unpadded per-shape runs — through the dense AND the masked
+    layout-native pallas kernels (interpret mode)."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(MCFG, attention_impl=impl)
+    model = CrossScoreNet(mcfg)
+    H = W = 84
+    q = jnp.asarray(rng.standard_normal((2, H, W, 3)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((2, 2, H, W, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), q[:1], r[:1])["params"]
+
+    vhw = jnp.asarray([[84, 84], [56, 70]], jnp.int32)
+    out = model.apply({"params": params}, q, r, valid_hw=vhw)["score_map_ref_cross"]
+
+    want0 = model.apply({"params": params}, q[:1], r[:1])["score_map_ref_cross"]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want0[0]), atol=5e-4)
+    q1, r1 = q[1:, :56, :70], r[1:, :, :56, :70]
+    want1 = model.apply({"params": params}, q1, r1)["score_map_ref_cross"]
+    np.testing.assert_allclose(np.asarray(out[1, :56, :70]), np.asarray(want1[0]),
+                               atol=5e-4)
