@@ -40,18 +40,28 @@ class RefTokenCache:
         encode_fn: Callable[[np.ndarray], np.ndarray],
         encode_batch: int = 16,
         max_items: int = 2048,
+        persist_dir=None,
     ):
         """:param encode_fn: jitted ``(B, H, W, 3) -> (B, N_patch, D)`` frozen
             backbone (``models.crossscore.make_backbone_encoder``).
         :param encode_batch: fixed miss-encoding batch (one compiled graph).
-        :param max_items: LRU bound (~1 MB/item at 518 px, D=384)."""
+        :param max_items: RAM LRU bound (~1 MB/item at 518 px, D=384).
+        :param persist_dir: optional directory for a DISK-backed store —
+            tokens survive process restarts (restart-warm serving). Keys
+            include the file mtime, so re-rendered references re-encode; the
+            CALLER must key the directory by checkpoint identity (different
+            weights produce different tokens)."""
         self._encode = encode_fn
         self._batch = int(encode_batch)
         self._max = int(max_items)
         self._cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._dir = Path(persist_dir) if persist_dir else None
+        if self._dir is not None:
+            self._dir.mkdir(parents=True, exist_ok=True)
         self.hits = 0
         self.misses = 0
         self.skipped_decodes = 0  # slots whose host decode was skipped
+        self.disk_hits = 0
 
     @staticmethod
     def _key(path: str, hw: tuple) -> tuple:
@@ -60,6 +70,42 @@ class RefTokenCache:
         except OSError:
             mtime = 0
         return (path, mtime, (int(hw[0]), int(hw[1])))
+
+    # ------------------------------------------------------- disk persistence
+
+    def _disk_path(self, key: tuple) -> "Path":
+        import hashlib
+
+        return self._dir / (hashlib.sha1(repr(key).encode()).hexdigest() + ".npz")
+
+    def _disk_load(self, key: tuple):
+        """RAM-miss fallback: pull from the persistent store if present."""
+        if self._dir is None:
+            return None
+        p = self._disk_path(key)
+        if not p.exists():
+            return None
+        try:
+            with np.load(p) as z:
+                arr = np.frombuffer(
+                    z["data"].tobytes(), dtype=np.dtype(str(z["dtype"]))
+                ).reshape(z["shape"])
+        except Exception:
+            return None  # partial/corrupt write: treat as miss, re-encode
+        self.disk_hits += 1
+        self._put(key, arr, write_disk=False)
+        return arr
+
+    def _disk_store(self, key: tuple, tokens: np.ndarray) -> None:
+        p = self._disk_path(key)
+        tmp = p.with_suffix(".tmp.npz")
+        np.savez(
+            tmp,
+            data=np.ascontiguousarray(tokens).view(np.uint8),
+            shape=np.asarray(tokens.shape),
+            dtype=str(tokens.dtype),
+        )
+        tmp.replace(p)  # atomic within the filesystem
 
     def has(self, path: str, hw: tuple) -> bool:
         """True if tokens for (path, planned output (h, w)) are cached.
@@ -71,7 +117,7 @@ class RefTokenCache:
         if key in self._cache:
             self._cache.move_to_end(key)
             return True
-        return False
+        return self._disk_load(key) is not None
 
     def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray,
                skipped=None) -> np.ndarray:
@@ -93,7 +139,7 @@ class RefTokenCache:
             for kk in range(k):
                 key = keys[bb][kk]
                 if skipped is not None and skipped[bb][kk]:
-                    if key not in self._cache:
+                    if key not in self._cache and self._disk_load(key) is None:
                         raise RuntimeError(
                             f"decode-skipped reference evicted from the token "
                             f"cache before use: {key[0]} — raise "
@@ -101,7 +147,8 @@ class RefTokenCache:
                         )
                     self.skipped_decodes += 1
                     continue
-                if key not in self._cache and key not in miss:
+                if (key not in self._cache and key not in miss
+                        and self._disk_load(key) is None):
                     miss[key] = ref_imgs[bb, kk]
         self.hits += b * k - sum(
             1 for bb in range(b) for kk in range(k) if keys[bb][kk] in miss
@@ -128,9 +175,11 @@ class RefTokenCache:
         )
         return out
 
-    def _put(self, key: tuple, tokens: np.ndarray) -> None:
+    def _put(self, key: tuple, tokens: np.ndarray, write_disk: bool = True) -> None:
         self._cache[key] = tokens
         self._cache.move_to_end(key)
+        if write_disk and self._dir is not None:
+            self._disk_store(key, tokens)
         while len(self._cache) > self._max:
             self._cache.popitem(last=False)
 

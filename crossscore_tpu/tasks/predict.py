@@ -182,6 +182,7 @@ def predict(cfg) -> Path:
             lambda imgs: encode(params, imgs),
             encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
             max_items=max_items,
+            persist_dir=cfg.this_main.get("ref_token_cache_dir"),
         )
         step_cached = jax.jit(make_predict_step_cached(model))
         # skip the HOST DECODE of cache-hit references too (the loader emits

@@ -138,6 +138,7 @@ def test(cfg) -> Path:
             lambda imgs: encode(params, imgs),
             encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
             max_items=int(cfg.this_main.get("ref_token_cache_max_items", 2048)),
+            persist_dir=cfg.this_main.get("ref_token_cache_dir"),
         )
         print("reference-token cache: on (frozen backbone, exact)")
 

@@ -277,3 +277,66 @@ class TestDecodeSkip:
         np.testing.assert_array_equal(toks1, toks2)
         assert cache.skipped_decodes == 2
         assert counter["calls"] == 1  # nothing re-encoded on the skip pass
+
+
+class TestDiskPersistence:
+    def test_restart_warm(self, tmp_path, rng):
+        """A second cache instance (new process equivalent) resolves every
+        reference from the persistent store without re-encoding."""
+        paths = []
+        for i in range(3):
+            p = tmp_path / f"ref_{i}.png"
+            p.write_bytes(b"x")
+            paths.append(str(p))
+        imgs = rng.standard_normal((1, 3, 8, 8, 3)).astype(np.float32)
+        ref_paths = [[paths[k]] for k in range(3)]
+
+        c1_count = {"calls": 0, "images": 0}
+        cache1 = RefTokenCache(_fake_encoder(c1_count), encode_batch=4,
+                               persist_dir=tmp_path / "store")
+        toks1 = cache1.gather(ref_paths, imgs)
+        assert c1_count["calls"] == 1
+
+        c2_count = {"calls": 0, "images": 0}
+        cache2 = RefTokenCache(_fake_encoder(c2_count), encode_batch=4,
+                               persist_dir=tmp_path / "store")
+        toks2 = cache2.gather(ref_paths, imgs)
+        assert c2_count["calls"] == 0  # fully restart-warm
+        assert cache2.disk_hits == 3
+        np.testing.assert_array_equal(toks1, toks2)
+        # has() consults the disk too (decode-skip works restart-warm)
+        cache3 = RefTokenCache(_fake_encoder({"calls": 0, "images": 0}),
+                               persist_dir=tmp_path / "store")
+        assert cache3.has(paths[0], (8, 8))
+
+    def test_mtime_change_invalidates(self, tmp_path, rng):
+        import os
+        import time as _time
+
+        p = tmp_path / "ref.png"
+        p.write_bytes(b"x")
+        imgs = rng.standard_normal((1, 1, 8, 8, 3)).astype(np.float32)
+        count = {"calls": 0, "images": 0}
+        cache = RefTokenCache(_fake_encoder(count), encode_batch=1,
+                              persist_dir=tmp_path / "store")
+        cache.gather([[str(p)]], imgs)
+        os.utime(p, ns=(1, 1))  # re-rendered file -> new mtime -> new key
+        cache.gather([[str(p)]], imgs)
+        assert count["calls"] == 2
+
+    def test_bf16_tokens_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        def encode(imgs):
+            return np.asarray(jnp.ones((imgs.shape[0], 2, 2), jnp.bfloat16))
+
+        p = tmp_path / "r.png"
+        p.write_bytes(b"x")
+        imgs = np.zeros((1, 1, 4, 4, 3), np.float32)
+        cache1 = RefTokenCache(encode, encode_batch=1, persist_dir=tmp_path / "s")
+        t1 = cache1.gather([[str(p)]], imgs)
+        cache2 = RefTokenCache(encode, encode_batch=1, persist_dir=tmp_path / "s")
+        t2 = cache2.gather([[str(p)]], imgs)
+        assert t2.dtype == t1.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(t1, np.float32),
+                                      np.asarray(t2, np.float32))

@@ -37,23 +37,42 @@ def main():
     dense_bytes = b * h * nq * nk * 2
     print(f"dense scores would be {dense_bytes/2**30:.1f} GiB bf16 -> flash only")
 
+    from crossscore_tpu.ops.flash_attention import (
+        flash_cross_attention_ln, pick_cross_ln_blocks,
+    )
+
     n_it = 3
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], h * hd)
+    qp, kp, vp = pack(q), pack(k), pack(v)
+    bq, bk = pick_cross_ln_blocks(nq, nk)
 
-    @jax.jit
-    def loop(q, k, v):
-        # args (not closure constants) so the remote-compile payload stays small
-        def body(i, c):
-            qq = q * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
-            return c + flash_cross_attention(qq, k, v, 512, 1024)[0, 0, 0, 0].astype(jnp.float32)
+    def head_major(qq, k, v):
+        return flash_cross_attention(qq, k, v, 512, 1024)[0, 0, 0, 0]
 
-        return jax.lax.fori_loop(0, n_it, body, jnp.float32(0))
+    def layout_native(qq, k, v):
+        return flash_cross_attention_ln(qq, k, v, h, hd, bq, bk)[0, 0, 0]
 
-    t = time.perf_counter(); loop(q, k, v).block_until_ready()
-    print(f"compile {time.perf_counter()-t:.0f}s")
-    t0 = time.perf_counter(); loop(q, k, v).block_until_ready()
-    dt = (time.perf_counter() - t0) / n_it
-    print(f"stress cross-attn (B={b} H={h} {nq}x{nk} hd={hd}): "
-          f"{dt*1e3:.1f} ms  {flops/dt/1e12:.1f} TFLOP/s")
+    for name, fn, args in [("head-major 512/1024", head_major, (q, k, v)),
+                           (f"layout-native {bq}/{bk}", layout_native, (qp, kp, vp))]:
+        @jax.jit
+        def loop(q_, k_, v_, _fn=fn):
+            def body(i, c):
+                qq = q_ * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+                return c + _fn(qq, k_, v_).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, n_it, body, jnp.float32(0))
+
+        t = time.perf_counter()
+        float(loop(args[0] * jnp.bfloat16(0.5), args[1], args[2]))
+        print(f"{name}: compile {time.perf_counter()-t:.0f}s", flush=True)
+        dts = []
+        for mult in (0.75, 1.0):  # distinct inputs per dispatch (memoisation)
+            t0 = time.perf_counter()
+            float(loop(args[0] * jnp.bfloat16(mult), args[1], args[2]))
+            dts.append(time.perf_counter() - t0)
+        dt = max(dts) / n_it
+        print(f"stress cross-attn [{name}] (B={b} H={h} {nq}x{nk} hd={hd}): "
+              f"{dt*1e3:.1f} ms  {flops/dt/1e12:.1f} TFLOP/s", flush=True)
 
 
 if __name__ == "__main__":
