@@ -199,9 +199,15 @@ class ViTBlock(nn.Module):
         y = ViTAttention(c, self.dtype, self.attention_impl, self.quant, name="attn")(
             y, kv_bias
         )
+
         x = x + y * ls1.astype(x.dtype)
 
         if self.mlp_impl == "fused" and self.quant == "none":
+            # NOTE: folding the attention LayerScale+residual into the kernel
+            # too (fused_res_ln_mlp) measured SLOWER end-to-end — backbone
+            # 81.9 -> 82.8 ms, full step 93.6 -> ~98 (PERFORMANCE.md). The
+            # separate-residual form lets XLA fuse the residual into the
+            # attention out-projection epilogue instead.
             from crossscore_tpu.ops.fused_mlp import fused_ln_mlp
 
             lns, lnb = _LayerNormParams(name="ln2")(c.hidden_size)

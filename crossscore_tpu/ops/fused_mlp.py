@@ -59,18 +59,37 @@ def _ln_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    ls2_ref, o_ref, *, eps: float):
     x = x_ref[...]  # (bm, D) compute dtype
     xf = x.astype(jnp.float32)
+    _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 ls2_ref, o_ref, x.dtype, eps)
+
+
+def _ln_mlp_res_kernel(x_ref, attn_ref, ls1_ref, lns_ref, lnb_ref, w1_ref,
+                       b1_ref, w2_ref, b2_ref, ls2_ref, o_ref, *, eps: float):
+    """Variant also folding the ATTENTION LayerScale+residual:
+    ``x = x_prev + attn * ls1`` computed in-kernel (fp32), then the MLP half.
+    Saves one full HBM round-trip of the residual stream per block — the
+    unfused graph writes x after the attention residual and re-reads it for
+    ln2 + the final residual."""
+    xf = (x_ref[...].astype(jnp.float32)
+          + attn_ref[...].astype(jnp.float32) * ls1_ref[...].astype(jnp.float32))
+    _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 ls2_ref, o_ref, x_ref.dtype, eps)
+
+
+def _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 ls2_ref, o_ref, dt, eps: float):
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
 
-    h = jax.lax.dot(y.astype(x.dtype), w1_ref[...],
+    h = jax.lax.dot(y.astype(dt), w1_ref[...],
                     preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
     # exact GELU (HF Dinov2 uses gelu, not tanh-approx): 0.5*h*(1+erf(h/sqrt2))
     h = 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
 
-    o = jax.lax.dot(h.astype(x.dtype), w2_ref[...],
+    o = jax.lax.dot(h.astype(dt), w2_ref[...],
                     preferred_element_type=jnp.float32)
     o = (o + b2_ref[...].astype(jnp.float32)) * ls2_ref[...].astype(jnp.float32)
     o_ref[...] = (xf + o).astype(o_ref.dtype)
@@ -113,6 +132,81 @@ def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
     )(xr, row(ln_scale), row(ln_bias), w1.astype(dt), row(b1), w2.astype(dt),
       row(b2), row(ls2))
     return out.reshape(b, n, d)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_m"))
+def _fused_res_ln_mlp_fwd_pallas(x, attn, ls1, ln_scale, ln_bias, w1, b1, w2,
+                                 b2, ls2, eps: float = 1e-6, block_m: int = 512):
+    b, n, d = x.shape
+    f = w1.shape[1]
+    m = b * n
+    dt = x.dtype
+
+    row = lambda v: v.reshape(1, -1).astype(dt)
+    grid = (pl.cdiv(m, block_m),)
+    const = lambda i: (0, 0)
+    blk = pl.BlockSpec((block_m, d), lambda i: (i, 0))
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_res_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            blk,
+            blk,
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((d, f), const),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((f, d), const),
+            pl.BlockSpec((1, d), const),
+            pl.BlockSpec((1, d), const),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, d), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * f,
+            bytes_accessed=3 * m * d * 2 + (2 * d * f) * 2,
+            transcendentals=m * f,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x.reshape(m, d), attn.reshape(m, d), row(ls1), row(ln_scale),
+      row(ln_bias), w1.astype(dt), row(b1), w2.astype(dt), row(b2), row(ls2))
+    return out.reshape(b, n, d)
+
+
+def _reference_res_xla(x, attn, ls1, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps):
+    """Unfused expression for the residual-folding variant (VJP recompute).
+    NOTE fp32 residual: the fused kernel computes x + attn*ls1 in fp32; the
+    reference path here matches the KERNEL, and the (bf16-accumulating)
+    unfused ViTBlock path agrees within bf16 tolerance (tests)."""
+    xf = (x.astype(jnp.float32)
+          + attn.astype(jnp.float32) * ls1.astype(jnp.float32)).astype(x.dtype)
+    return _reference_xla(xf, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def fused_res_ln_mlp(x, attn, ls1, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
+                     eps: float = 1e-6):
+    """``let x2 = x + attn*ls1 in x2 + ls2 * fc2(gelu(fc1(ln(x2))))`` as one
+    Pallas kernel — the whole second half of a ViT block INCLUDING the
+    attention residual (one fewer residual-stream HBM round-trip than
+    :func:`fused_ln_mlp`)."""
+    return _fused_res_ln_mlp_fwd_pallas(x, attn, ls1, ln_scale, ln_bias, w1,
+                                        b1, w2, b2, ls2, eps=eps)
+
+
+def _frlm_fwd(x, attn, ls1, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps):
+    out = _fused_res_ln_mlp_fwd_pallas(x, attn, ls1, ln_scale, ln_bias, w1,
+                                       b1, w2, b2, ls2, eps=eps)
+    return out, (x, attn, ls1, ln_scale, ln_bias, w1, b1, w2, b2, ls2)
+
+
+def _frlm_bwd(eps, residuals, g):
+    _, vjp = jax.vjp(lambda *a: _reference_res_xla(*a, eps), *residuals)
+    return vjp(g)
+
+
+fused_res_ln_mlp.defvjp(_frlm_fwd, _frlm_bwd)
 
 
 def _reference_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps):

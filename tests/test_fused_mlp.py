@@ -79,3 +79,49 @@ class TestEncoderMlpImpl:
         out_fused = enc_fused.apply({"params": params}, imgs)
         np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                    rtol=0, atol=2e-5)
+
+
+class TestFusedResLnMlp:
+    def test_matches_reference_fp32(self, rng):
+        from crossscore_tpu.ops.fused_mlp import _reference_res_xla, fused_res_ln_mlp
+
+        x, ln_s, ln_b, w1, b1, w2, b2, ls2 = _make_args(rng)
+        attn = jnp.asarray(rng.standard_normal(x.shape), x.dtype) * 0.3
+        ls1 = 1.0 + 0.05 * jnp.asarray(rng.standard_normal(x.shape[-1]), x.dtype)
+        got = fused_res_ln_mlp(x, attn, ls1, ln_s, ln_b, w1, b1, w2, b2, ls2)
+        want = _reference_res_xla(x, attn, ls1, ln_s, ln_b, w1, b1, w2, b2, ls2, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-5)
+
+    def test_gradients_match(self, rng):
+        from crossscore_tpu.ops.fused_mlp import _reference_res_xla, fused_res_ln_mlp
+
+        args = _make_args(rng, b=1, n=16, d=32, f=64)
+        x, rest = args[0], args[1:]
+        attn = jnp.asarray(rng.standard_normal(x.shape), x.dtype) * 0.3
+        ls1 = 1.0 + 0.05 * jnp.asarray(rng.standard_normal(x.shape[-1]), x.dtype)
+        full = (x, attn, ls1, *rest)
+        g_f = jax.grad(lambda *a: jnp.sum(jnp.square(fused_res_ln_mlp(*a))),
+                       argnums=tuple(range(10)))(*full)
+        g_r = jax.grad(lambda *a: jnp.sum(jnp.square(_reference_res_xla(*a, 1e-6))),
+                       argnums=tuple(range(10)))(*full)
+        for a, b in zip(g_f, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_encoder_fused_equals_xla_same_params(self, rng):
+        """The residual-folding fused block still matches the unfused encoder
+        on the same params (fp32 residual vs bf16 — fp32 test, tight tol)."""
+        from crossscore_tpu.models.dinov2 import Dinov2Encoder, ViTConfig
+
+        cfg = ViTConfig(hidden_size=64, num_layers=2, num_heads=4, image_size=56)
+        imgs = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+        enc_xla = Dinov2Encoder(cfg, dtype=jnp.float32, mlp_impl="xla")
+        enc_fused = Dinov2Encoder(cfg, dtype=jnp.float32, mlp_impl="fused")
+        params = enc_xla.init(jax.random.PRNGKey(0), imgs)["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(
+            enc_fused.init(jax.random.PRNGKey(0), imgs)["params"]
+        )
+        out_xla = enc_xla.apply({"params": params}, imgs)
+        out_fused = enc_fused.apply({"params": params}, imgs)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                                   rtol=0, atol=5e-5)
