@@ -81,7 +81,7 @@ def main() -> None:
             return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
 
         args = (query, tokens)
-        metric = "518px score-maps/sec/chip, 8 refs, WARM token cache (serving)"
+        metric = f"{HW}px score-maps/sec/chip, {K_REFS} refs, WARM token cache (serving)"
     else:
 
         @jax.jit
@@ -94,7 +94,10 @@ def main() -> None:
             return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0.0))
 
         args = (query, refs)
-        metric = "518px query score-maps/sec/chip at 8 ref views"
+        if (HW, K_REFS) == (518, 8):
+            metric = "518px query score-maps/sec/chip at 8 ref views"
+        else:
+            metric = f"{HW}px query score-maps/sec/chip at {K_REFS} ref views"
 
     # warm up with DIFFERENT input values: the execution relay memoises
     # repeated identical (program, inputs) dispatches in this environment;

@@ -568,6 +568,138 @@ def _bwd_pallas_single(q, k, v, o, do, l, m, block_q: int = 512):
     return dq, dk, dv
 
 
+def _bwd_kernel_multi(bias_ref, q_ref, do_ref, k_ref, v_ref, lb_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, dq_scr, *,
+                      c1: float, sm_scale: float, q_chunks: int, cq: int):
+    """Flash backward for the MULTI-KV-block regime (decoder cross-attention
+    training, Nk = K*1369 tokens). Grid (B*H, Nk/bk) with the KV axis
+    sequential: dk/dv are exact per KV block (the whole q axis is reduced
+    in-cell over ``q_chunks`` chunks of ``cq`` rows); dq accumulates in fp32
+    scratch across KV blocks and is written once at the last block.
+
+    Same score-tile recipe as ``_bwd_kernel_single``: one fused exp2
+    recomputes p (1/l folded into ``lb``, KV padding in ``bias``), one fused
+    (dp - delta) * p * scale for ds, bf16 matmul operands with fp32
+    accumulation."""
+    kvi = pl.program_id(1)
+    nkv = pl.num_programs(1)
+
+    @pl.when(kvi == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    dk_acc = None
+    dv_acc = None
+    for qc in range(q_chunks):
+        sl = slice(qc * cq, (qc + 1) * cq)
+        q = q_ref[0][sl]
+        do = do_ref[0][sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (cq, bk)
+        p = jnp.exp2(s * c1 - lb_ref[0][sl] + bias_ref[0])
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0][sl]) * sm_scale
+        pb = p.astype(k.dtype)
+        dsb = ds.astype(k.dtype)
+        dq_scr[sl] += jax.lax.dot(dsb, k, preferred_element_type=jnp.float32)
+        dk_c = jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv_c = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
+        dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
+
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+    @pl.when(kvi == nkv - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k",))
+def _bwd_pallas_multi(q, k, v, o, do, l, m, block_k: int = 1024):
+    """Multi-KV-block Pallas backward (decoder training hot loop; reference
+    ``transformer.py:195-205`` backward). q,k,v,o,do: (B,H,N,hd);
+    l,m: (B,H,Nq). Returns (dq, dk, dv)."""
+    b, h, nq, hd = q.shape
+    nk = k.shape[2]
+    sm_scale = 1.0 / (hd ** 0.5)
+    bh = b * h
+    nk_p = _ceil_to(nk, block_k)
+    # q chunks: bound the live (cq, bk) score tiles to VMEM (fp32 + bf16 p/ds)
+    q_chunks = max(1, -(-nq * block_k // 700_000))
+    cq = _ceil_to(-(-nq // q_chunks), 8)
+    nq_p = cq * q_chunks
+
+    def flat(x, n_to):
+        x = x.reshape(bh, *x.shape[2:])
+        return jnp.pad(x, ((0, 0), (0, n_to - x.shape[1]), (0, 0)))
+
+    qf = flat(q, nq_p)
+    dof = flat(do, nq_p)
+    kf = flat(k, nk_p)
+    vf = flat(v, nk_p)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    # lb: exp2-base log-normaliser; padded q rows get +big so their p == 0
+    lb = ((m + jnp.log(l_safe)) * LOG2E).reshape(bh, nq)
+    lb = jnp.pad(lb, ((0, 0), (0, nq_p - nq)), constant_values=1e30)[..., None]
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta.reshape(bh, nq), ((0, 0), (0, nq_p - nq)))[..., None]
+    bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF).astype(jnp.float32)
+    bias = bias.reshape(1, nk_p)
+
+    kernel = functools.partial(
+        _bwd_kernel_multi, c1=sm_scale * LOG2E, sm_scale=sm_scale,
+        q_chunks=q_chunks, cq=cq,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh, nk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k), lambda bh_, ki: (0, ki)),
+            pl.BlockSpec((1, nq_p, hd), lambda bh_, ki: (bh_, 0, 0)),
+            pl.BlockSpec((1, nq_p, hd), lambda bh_, ki: (bh_, 0, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh_, ki: (bh_, ki, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh_, ki: (bh_, ki, 0)),
+            pl.BlockSpec((1, nq_p, 1), lambda bh_, ki: (bh_, 0, 0)),
+            pl.BlockSpec((1, nq_p, 1), lambda bh_, ki: (bh_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq_p, hd), lambda bh_, ki: (bh_, 0, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh_, ki: (bh_, ki, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda bh_, ki: (bh_, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_p, hd), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_p, hd), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_p, hd), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nq_p, hd), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * nq_p * nk_p * hd,
+            bytes_accessed=bh * (4 * nq_p * (nk_p // block_k) + 4 * nk_p) * hd * 2,
+            transcendentals=bh * nq_p * nk_p,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(bias, qf, dof, kf, vf, lb, delta)
+
+    dq = dq.reshape(b, h, nq_p, hd)[:, :, :nq]
+    dk = dk.reshape(b, h, nk_p, hd)[:, :, :nk]
+    dv = dv.reshape(b, h, nk_p, hd)[:, :, :nk]
+    return dq, dk, dv
+
+
 def _bwd_xla(residuals, do, *, block_k: int):
     """Flash-style backward in plain XLA: scan over KV blocks, recomputing
     score tiles. Memory per step is O(Nq x block_k); the full score matrix is
@@ -1199,12 +1331,14 @@ def flash_cross_attention(q, k, v, block_q: int = 512, block_k: int = 1024,
 
 
 def _dispatch_bwd(residuals, do, block_k: int):
-    """Pallas backward for the single-KV-block regime (backbone training hot
-    loop); flash-style XLA scan for long-KV shapes (decoder cross-attention)."""
+    """Pallas backward everywhere: the single-KV-block kernel for the
+    backbone regime, the multi-KV kernel for long-KV shapes (decoder
+    cross-attention). ``_bwd_xla`` remains the context-parallel backward
+    (it consumes GLOBAL softmax stats per shard, ops/context_parallel.py)."""
     q, k, v, o, l, m = residuals
     if k.shape[2] <= 2048:
         return _bwd_pallas_single(q, k, v, o, do, l, m)
-    return _bwd_xla(residuals, do, block_k=block_k)
+    return _bwd_pallas_multi(q, k, v, o, do, l, m, block_k=1024)
 
 
 def _fca_fwd(q, k, v, block_q, block_k, block_h, variant):

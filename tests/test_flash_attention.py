@@ -264,3 +264,43 @@ class TestShapeFuzz:
         q, k, v = (qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)[i] for i in range(3))
         want = dense_attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, h * hd)
         np.testing.assert_allclose(np.asarray(o), np.asarray(want), atol=3e-5)
+
+
+class TestMultiKvBackward:
+    """The multi-KV Pallas backward (decoder cross-attention training path)."""
+
+    @pytest.mark.parametrize("nq,nk", [(70, 2100), (37, 3000)])
+    def test_grads_match_dense_long_kv(self, rng, nq, nk):
+        q, k, v = _rand_qkv(rng, b=1, h=2, nq=nq, nk=nk, hd=48)
+
+        def loss_flash(q, k, v):
+            from crossscore_tpu.ops.flash_attention import pick_blocks
+
+            return jnp.sum(jnp.square(flash_cross_attention(q, k, v, *pick_blocks(nq, nk))))
+
+        def loss_dense(q, k, v):
+            return jnp.sum(jnp.square(dense_attention(q, k, v)))
+
+        g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_f, g_d, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                       err_msg=name)
+
+    def test_bwd_pallas_multi_matches_bwd_xla(self, rng):
+        """Direct A/B of the two long-KV backward implementations on the same
+        residuals."""
+        from crossscore_tpu.ops.flash_attention import (
+            _bwd_pallas_multi, _bwd_xla, _flash_fwd, pick_blocks,
+        )
+
+        q, k, v = _rand_qkv(rng, b=1, h=2, nq=64, nk=2600, hd=48)
+        bq, bk, bh = pick_blocks(64, 2600)
+        o, l, m = _flash_fwd(q, k, v, block_q=bq, block_k=bk, block_h=bh)
+        do = jnp.asarray(rng.standard_normal(o.shape).astype(np.float32))
+        res = (q, k, v, o, l, m)
+        dq_p, dk_p, dv_p = _bwd_pallas_multi(q, k, v, o, do, l, m)
+        dq_x, dk_x, dv_x = _bwd_xla(res, do, block_k=1024)
+        for a, b, name in [(dq_p, dq_x, "dq"), (dk_p, dk_x, "dk"), (dv_p, dv_x, "dv")]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                       err_msg=name)
