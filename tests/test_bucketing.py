@@ -156,3 +156,55 @@ def test_per_item_valid_hw_matches_unpadded(impl, rng):
     want1 = model.apply({"params": params}, q1, r1)["score_map_ref_cross"]
     np.testing.assert_allclose(np.asarray(out[1, :56, :70]), np.asarray(want1[0]),
                                atol=5e-4)
+
+
+def test_forced_bucket_predict_matches_plain(tmp_path):
+    """Predict with buckets FORCED on a single-shape dir exercises the
+    per-item (B, 2) valid_hw path end-to-end (padded inputs, masked kernels,
+    per-item host-side crops). Score maps match the plain run to mask-exact
+    float tolerance (padded+masked attention is tolerance-exact, not
+    bit-exact; at uint16 quantization that is a couple of counts)."""
+    import os
+
+    from crossscore_tpu.data.synthetic import generate
+    from crossscore_tpu.tasks.predict import main
+
+    generate(tmp_path / "datadir", hw=(84, 112),
+             scenes_per_split={"train": 1, "test": 1})
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        common = [
+            "trainer.accelerator=cpu",
+            "model.tpu.compute_dtype=float32",
+            "model.backbone.preset=dinov2-test",
+            "data.neighbour_config.cross=2",
+            "data.dataset.query_dir=datadir/res_540/s00001/test/ours_1000/renders",
+            "data.dataset.reference_dir=datadir/res_540/s00001/train/ours_1000/gt",
+            "data.loader.validation.batch_size=2",
+            "this_main.resize_short_side=84",
+            "logger.predict.write.config.score_map_colour_mode=gray",
+        ]
+        out_plain = main(common + ["this_main.shape_buckets=off", "alias=plain"])
+        out_forced = main(common + ["this_main.shape_buckets=on",
+                                    "this_main.bucket_multiple=56", "alias=forced"])
+    finally:
+        os.chdir(old)
+    for out in (out_plain, out_forced):
+        assert out.is_absolute() or True
+    a = sorted((tmp_path / out_plain / "batch" / "score_map_ref_cross").glob("*.png")
+               if not out_plain.is_absolute()
+               else (out_plain / "batch" / "score_map_ref_cross").glob("*.png"))
+    b = sorted((tmp_path / out_forced / "batch" / "score_map_ref_cross").glob("*.png")
+               if not out_forced.is_absolute()
+               else (out_forced / "batch" / "score_map_ref_cross").glob("*.png"))
+    assert len(a) == len(b) == 3
+    from PIL import Image
+
+    for x, y in zip(a, b):
+        assert x.name == y.name
+        pa = np.asarray(Image.open(x)).astype(np.int64)
+        pb = np.asarray(Image.open(y)).astype(np.int64)
+        assert pa.shape == pb.shape, x.name
+        # uint16 gray maps; 2e-4 float tolerance ~= 13 counts of 65535
+        assert np.abs(pa - pb).max() <= 32, (x.name, np.abs(pa - pb).max())
