@@ -30,6 +30,12 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
 
 
 # XLA's f32 erf rational approximation (xla/client/lib/math.cc ErfImpl32):
@@ -57,10 +63,10 @@ def _erf_f32(x):
 
 def _ln_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    ls2_ref, o_ref, *, eps: float):
-    x = x_ref[...]  # (bm, D) compute dtype
+    x = x_ref[0]  # (bm, D) compute dtype (x_ref block is (1, bm, D))
     xf = x.astype(jnp.float32)
-    _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                 ls2_ref, o_ref, x.dtype, eps)
+    o_ref[0] = _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                            b2_ref, ls2_ref, x.dtype, eps)
 
 
 def _ln_mlp_res_kernel(x_ref, attn_ref, ls1_ref, lns_ref, lnb_ref, w1_ref,
@@ -72,12 +78,12 @@ def _ln_mlp_res_kernel(x_ref, attn_ref, ls1_ref, lns_ref, lnb_ref, w1_ref,
     ln2 + the final residual."""
     xf = (x_ref[...].astype(jnp.float32)
           + attn_ref[...].astype(jnp.float32) * ls1_ref[...].astype(jnp.float32))
-    _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                 ls2_ref, o_ref, x_ref.dtype, eps)
+    o_ref[...] = _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                              b2_ref, ls2_ref, x_ref.dtype, eps)
 
 
 def _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                 ls2_ref, o_ref, dt, eps: float):
+                 ls2_ref, dt, eps: float):
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -92,26 +98,29 @@ def _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o = jax.lax.dot(h.astype(dt), w2_ref[...],
                     preferred_element_type=jnp.float32)
     o = (o + b2_ref[...].astype(jnp.float32)) * ls2_ref[...].astype(jnp.float32)
-    o_ref[...] = (xf + o).astype(o_ref.dtype)
+    return (xf + o).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_m"))
 def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
                              eps: float = 1e-6, block_m: int = 512):
+    # operate on the (B, N, D) array DIRECTLY: flattening to (B*N, D) forces
+    # XLA to physically re-tile on TPU whenever N is not sublane-aligned
+    # (N=1370 backbone tokens) — a profiler trace showed ~0.6 ms/layer of
+    # reshape copies around this kernel (PERFORMANCE.md, r2 trace findings)
     b, n, d = x.shape
     f = w1.shape[1]
-    m = b * n
-    xr = x.reshape(m, d)
     dt = x.dtype
+    block_m = min(block_m, _ceil_to(n, 8))
 
     row = lambda v: v.reshape(1, -1).astype(dt)
-    grid = (pl.cdiv(m, block_m),)
-    const = lambda i: (0, 0)
+    grid = (b, pl.cdiv(n, block_m))
+    const = lambda bi, i: (0, 0)
     out = pl.pallas_call(
         functools.partial(_ln_mlp_kernel, eps=eps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, block_m, d), lambda bi, i: (bi, i, 0)),
             pl.BlockSpec((1, d), const),
             pl.BlockSpec((1, d), const),
             pl.BlockSpec((d, f), const),
@@ -120,18 +129,20 @@ def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
             pl.BlockSpec((1, d), const),
             pl.BlockSpec((1, d), const),
         ],
-        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((m, d), dt),
+        out_specs=pl.BlockSpec((1, block_m, d), lambda bi, i: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), dt),
         cost_estimate=pl.CostEstimate(
-            flops=4 * m * d * f,
-            bytes_accessed=2 * m * d * 2 + (2 * d * f) * 2,
-            transcendentals=m * f,
+            flops=4 * b * n * d * f,
+            bytes_accessed=2 * b * n * d * 2 + (2 * d * f) * 2,
+            transcendentals=b * n * f,
         ),
-        compiler_params=None,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=jax.default_backend() == "cpu",
-    )(xr, row(ln_scale), row(ln_bias), w1.astype(dt), row(b1), w2.astype(dt),
+    )(x, row(ln_scale), row(ln_bias), w1.astype(dt), row(b1), w2.astype(dt),
       row(b2), row(ls2))
-    return out.reshape(b, n, d)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_m"))

@@ -109,6 +109,48 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
                   f"runs {dts[0]*1e3:.0f}/{dts[1]*1e3:.0f}ms, incl o->qkv tile)",
                   flush=True)
             return ref_out
+        if name == "xln":
+            # layout-native CROSS kernel at the decoder shape:
+            # xln:<block_q>,<block_k> (token-major packed inputs; hd padded
+            # to 64 with the q-prescale fold, as the decoder wires it)
+            from crossscore_tpu.ops.flash_attention import _flash_cross_ln_fwd
+
+            bq, bk = (int(x) for x in blocks.split(","))
+            hd_pad = 64 if HD <= 64 else 128
+            prescale = (hd_pad ** 0.5) / (HD ** 0.5)
+            padh = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, hd_pad - HD)))
+            packh = lambda x: x.transpose(0, 2, 1, 3).reshape(B, x.shape[2], H * hd_pad)
+            qp0 = packh(padh(q0 * jnp.bfloat16(prescale)))
+            kp0 = packh(padh(k0))
+            vp0 = packh(padh(v0))
+
+            @jax.jit
+            def loop(qp, kp, vp, _bq=bq, _bk=bk):
+                def body(i, c):
+                    qq = qp * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+                    o, _, _ = _flash_cross_ln_fwd(qq, kp, vp, H, hd_pad,
+                                                  block_q=_bq, block_k=_bk)
+                    return c + o[0, 0, 0].astype(jnp.float32)
+
+                def layer_chain(i, c):
+                    return jax.lax.fori_loop(0, LAYERS, body, c)
+
+                return jax.lax.fori_loop(0, N_IT, layer_chain, jnp.float32(0))
+
+            t = time.perf_counter()
+            float(loop(qp0 * jnp.bfloat16(0.5), kp0, vp0))
+            compile_s = time.perf_counter() - t
+            dts = []
+            for mult in (0.75, 1.0):
+                t0 = time.perf_counter()
+                float(loop(qp0 * jnp.bfloat16(mult), kp0, vp0))
+                dts.append(time.perf_counter() - t0)
+            ms_layer = max(dts) / (N_IT * LAYERS) * 1e3
+            tflops = flops_per_layer / (ms_layer / 1e3) / 1e12
+            print(f"{spec:24s} {ms_layer:7.2f} ms/layer  {tflops:6.1f} TFLOP/s  "
+                  f"(compile {compile_s:.0f}s, runs {dts[0]*1e3:.0f}/{dts[1]*1e3:.0f}ms)",
+                  flush=True)
+            return ref_out
         if name in ("qkv", "qkvc"):
             # layout-native kernel: spec qkv:<block_q>,<hpack> or
             # qkvc:<block_q>,<hpack>,<n_chunks> (in-VMEM chunked online
