@@ -103,7 +103,7 @@ def _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_m"))
 def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
-                             eps: float = 1e-6, block_m: int = 512):
+                             eps: float = 1e-6, block_m: int = 0):
     # operate on the (B, N, D) array DIRECTLY: flattening to (B*N, D) forces
     # XLA to physically re-tile on TPU whenever N is not sublane-aligned
     # (N=1370 backbone tokens) — a profiler trace showed ~0.6 ms/layer of
@@ -111,6 +111,12 @@ def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
     b, n, d = x.shape
     f = w1.shape[1]
     dt = x.dtype
+    if block_m <= 0:
+        # fewest EQUAL row blocks per image with the fp32 fc1 tile under
+        # ~4.3 MB (688 rows at F=1536): measured best at the bench point
+        # (3.28 ms/layer vs 3.38-3.44 for 344/512/1376, tools/mlp_microbench)
+        n_splits = max(1, -(-n // 704))
+        block_m = _ceil_to(-(-n // n_splits), 8)
     block_m = min(block_m, _ceil_to(n, 8))
 
     row = lambda v: v.reshape(1, -1).astype(dt)
