@@ -251,13 +251,23 @@ class Dinov2Encoder(nn.Module):
         n = gh * gw
         native = c.image_size // p
 
-        # --- patch embedding as one MXU matmul ---
-        # slice to integer patches (== torch strided-conv floor semantics for
-        # arbitrary input sizes, e.g. 518x918 predict-path images)
-        x = images[:, : gh * p, : gw * p].astype(self.dtype)
-        x = x.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, n, p * p * 3)
-        x = nn.Dense(c.hidden_size, dtype=self.dtype, name="patch_proj")(x)
+        # --- patch embedding as a strided conv ---
+        # The round-1 reshape+matmul form looked free but physically RE-TILES
+        # on TPU (a profiler trace showed ~4.2 ms/forward of layout
+        # copies/reshapes around it at the bench point, PERFORMANCE.md); the
+        # strided conv runs the im2col inside the MXU pipeline. Params stay
+        # nn.Dense-shaped ((P*P*3, D) kernel) so checkpoints/conversion are
+        # unchanged; VALID conv with stride P gives torch's floor semantics
+        # for non-multiple sizes (e.g. 518x918 predict images).
+        kernel, bias = _DenseParams(c.hidden_size, name="patch_proj")(p * p * 3)
+        x = jax.lax.conv_general_dilated(
+            images[:, : gh * p, : gw * p].astype(self.dtype),
+            kernel.reshape(p, p, 3, c.hidden_size).astype(self.dtype),
+            window_strides=(p, p),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = (x + bias.astype(self.dtype)).reshape(b, n, c.hidden_size)
 
         # --- CLS + position embeddings ---
         cls_token = self.param(
