@@ -125,3 +125,36 @@ class TestFusedResLnMlp:
         out_fused = enc_fused.apply({"params": params}, imgs)
         np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                    rtol=0, atol=5e-5)
+
+
+class TestBf16TanhGelu:
+    """The bf16 kernel path uses the tanh-form GELU (max |err| ~1e-3 vs exact
+    erf — below the bf16 rounding the path already carries; fp32 keeps the
+    exact polynomial). Pins the end-to-end deviation."""
+
+    def test_op_level_bound(self, rng):
+        from crossscore_tpu.ops.fused_mlp import _reference_xla, fused_ln_mlp
+
+        args = _make_args(rng, dtype=jnp.bfloat16)
+        got = np.asarray(fused_ln_mlp(*args), np.float32)
+        want = np.asarray(_reference_xla(*args, 1e-6), np.float32)  # exact gelu
+        # deviation bounded by gelu-approx err (~1e-3) amplified through fc2
+        assert np.abs(got - want).max() < 2e-2, np.abs(got - want).max()
+
+    def test_model_level_bound(self, rng):
+        """Full CrossScoreNet bf16: fused (tanh-gelu) vs unfused (exact-gelu)
+        score maps stay within a tight fraction of the score range."""
+        from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+        from crossscore_tpu.models.dinov2 import VIT_PRESETS
+        import dataclasses
+
+        base = CrossScoreConfig(backbone=VIT_PRESETS["dinov2-test"], pe_h=6,
+                                pe_w=6, compute_dtype=jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.bfloat16)
+        r = jnp.asarray(rng.standard_normal((1, 2, 56, 56, 3)), jnp.bfloat16)
+        m_x = CrossScoreNet(dataclasses.replace(base, mlp_impl="xla"))
+        m_f = CrossScoreNet(dataclasses.replace(base, mlp_impl="fused"))
+        params = m_x.init(jax.random.PRNGKey(0), q, r)["params"]
+        out_x = np.asarray(m_x.apply({"params": params}, q, r)["score_map_ref_cross"])
+        out_f = np.asarray(m_f.apply({"params": params}, q, r)["score_map_ref_cross"])
+        assert np.abs(out_f - out_x).max() < 2e-2  # scores live in [0, 1]
