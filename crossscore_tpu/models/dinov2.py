@@ -202,18 +202,22 @@ class ViTBlock(nn.Module):
 
         x = x + y * ls1.astype(x.dtype)
 
-        if self.mlp_impl == "fused" and self.quant == "none":
+        if self.mlp_impl.startswith("fused") and self.quant == "none":
             # NOTE: folding the attention LayerScale+residual into the kernel
             # too (fused_res_ln_mlp) measured SLOWER end-to-end — backbone
             # 81.9 -> 82.8 ms, full step 93.6 -> ~98 (PERFORMANCE.md). The
             # separate-residual form lets XLA fuse the residual into the
             # attention out-projection epilogue instead.
+            # mlp_impl="fused_exact" keeps the exact erf GELU on bf16 too
+            # (default "fused" uses the tanh form there — PERFORMANCE.md).
             from crossscore_tpu.ops.fused_mlp import fused_ln_mlp
 
+            gelu = "exact" if self.mlp_impl == "fused_exact" else "tanh"
             lns, lnb = _LayerNormParams(name="ln2")(c.hidden_size)
             w1, b1 = _DenseParams(c.mlp_ratio * c.hidden_size, name="fc1")(c.hidden_size)
             w2, b2 = _DenseParams(c.hidden_size, name="fc2")(c.mlp_ratio * c.hidden_size)
-            return fused_ln_mlp(x, lns, lnb, w1, b1, w2, b2, ls2, c.layer_norm_eps)
+            return fused_ln_mlp(x, lns, lnb, w1, b1, w2, b2, ls2,
+                                c.layer_norm_eps, gelu)
 
         y = LayerNorm(c.layer_norm_eps, name="ln2")(x)
         y = make_dense(self.quant, c.mlp_ratio * c.hidden_size, self.dtype, "fc1")(y)

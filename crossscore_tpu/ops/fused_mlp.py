@@ -62,11 +62,11 @@ def _erf_f32(x):
 
 
 def _ln_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                   ls2_ref, o_ref, *, eps: float):
+                   ls2_ref, o_ref, *, eps: float, gelu: str = "tanh"):
     x = x_ref[0]  # (bm, D) compute dtype (x_ref block is (1, bm, D))
     xf = x.astype(jnp.float32)
     o_ref[0] = _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                            b2_ref, ls2_ref, x.dtype, eps)
+                            b2_ref, ls2_ref, x.dtype, eps, gelu)
 
 
 def _ln_mlp_res_kernel(x_ref, attn_ref, ls1_ref, lns_ref, lnb_ref, w1_ref,
@@ -83,7 +83,7 @@ def _ln_mlp_res_kernel(x_ref, attn_ref, ls1_ref, lns_ref, lnb_ref, w1_ref,
 
 
 def _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                 ls2_ref, dt, eps: float):
+                 ls2_ref, dt, eps: float, gelu: str = "tanh"):
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -92,7 +92,7 @@ def _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = jax.lax.dot(y.astype(dt), w1_ref[...],
                     preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    if dt == jnp.bfloat16:
+    if dt == jnp.bfloat16 and gelu == "tanh":
         # bf16 compute: tanh-form GELU (max |err| ~1e-3, below the bf16
         # activation rounding the path already carries) — ~half the VPU ops
         # of the erf polynomial, which the trace showed as ~0.5 ms/layer
@@ -109,9 +109,10 @@ def _ln_mlp_body(xf, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     return (xf + o).astype(dt)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "block_m"))
+@functools.partial(jax.jit, static_argnames=("eps", "block_m", "gelu"))
 def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
-                             eps: float = 1e-6, block_m: int = 0):
+                             eps: float = 1e-6, block_m: int = 0,
+                             gelu: str = "tanh"):
     # operate on the (B, N, D) array DIRECTLY: flattening to (B*N, D) forces
     # XLA to physically re-tile on TPU whenever N is not sublane-aligned
     # (N=1370 backbone tokens) — a profiler trace showed ~0.6 ms/layer of
@@ -131,7 +132,7 @@ def _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
     grid = (b, pl.cdiv(n, block_m))
     const = lambda bi, i: (0, 0)
     out = pl.pallas_call(
-        functools.partial(_ln_mlp_kernel, eps=eps),
+        functools.partial(_ln_mlp_kernel, eps=eps, gelu=gelu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_m, d), lambda bi, i: (bi, i, 0)),
@@ -253,23 +254,24 @@ def _reference_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps):
     return (xf + o).astype(dt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps: float = 1e-6):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps: float = 1e-6,
+                 gelu: str = "tanh"):
     """``x + ls2 * fc2(gelu(fc1(ln(x))))`` as one Pallas kernel.
 
     x: (B, N, D); w1: (D, F); w2: (F, D); vectors are (D,)/(F,). Differentiable
     w.r.t. every array argument (backward recomputes via plain XLA)."""
     return _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
-                                    eps=eps)
+                                    eps=eps, gelu=gelu)
 
 
-def _flm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps):
+def _flm_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, eps, gelu):
     out = _fused_ln_mlp_fwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, ls2,
-                                   eps=eps)
+                                   eps=eps, gelu=gelu)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, ls2)
 
 
-def _flm_bwd(eps, residuals, g):
+def _flm_bwd(eps, gelu, residuals, g):
     _, vjp = jax.vjp(lambda *a: _reference_xla(*a, eps), *residuals)
     return vjp(g)
 

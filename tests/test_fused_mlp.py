@@ -158,3 +158,15 @@ class TestBf16TanhGelu:
         out_x = np.asarray(m_x.apply({"params": params}, q, r)["score_map_ref_cross"])
         out_f = np.asarray(m_f.apply({"params": params}, q, r)["score_map_ref_cross"])
         assert np.abs(out_f - out_x).max() < 2e-2  # scores live in [0, 1]
+
+    def test_fused_exact_restores_erf_on_bf16(self, rng):
+        """mlp_impl=fused_exact / gelu="exact" keeps the erf GELU on bf16."""
+        from crossscore_tpu.ops.fused_mlp import _reference_xla, fused_ln_mlp
+
+        args = _make_args(rng, dtype=jnp.bfloat16)
+        got = np.asarray(fused_ln_mlp(*args, 1e-6, "exact"), np.float32)
+        want = np.asarray(_reference_xla(*args, 1e-6), np.float32)
+        # same exact-gelu math; only fp32-vs-bf16 accumulation differences
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-2)
+        tanh = np.asarray(fused_ln_mlp(*args, 1e-6, "tanh"), np.float32)
+        assert np.abs(got - want).max() <= np.abs(tanh - want).max() + 1e-6
