@@ -39,6 +39,17 @@ def load_params(path: str | Path, like: Optional[Any] = None) -> Any:
         return ckptr.restore(path)
 
 
+def load_hparams(ckpt_dir: str | Path) -> Optional[dict]:
+    """Read the ``hparams.yaml`` stored next to a checkpoint directory's
+    steps, or None for checkpoints written before hparams persistence."""
+    path = _to_abs(ckpt_dir) / "hparams.yaml"
+    if not path.exists():
+        return None
+    import yaml
+
+    return yaml.safe_load(path.read_text())
+
+
 class CheckpointManager:
     """Training checkpoint manager with wall-clock-interval saves.
 
@@ -52,9 +63,21 @@ class CheckpointManager:
         train_time_interval_hours: Optional[float] = 2.0,
         every_n_train_steps: Optional[int] = None,
         every_n_epochs: Optional[int] = None,
+        hparams: Optional[dict] = None,
     ):
+        """``hparams``: the composed config dict that produced this run. It is
+        written once as ``<dir>/hparams.yaml`` so a checkpoint can be
+        interpreted and safely resumed without out-of-band knowledge
+        (Lightning embeds it via ``save_hyperparameters``, reference
+        ``task/core.py:170``)."""
         self.directory = _to_abs(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
+        if hparams is not None:
+            import yaml
+
+            (self.directory / "hparams.yaml").write_text(
+                yaml.safe_dump(hparams, sort_keys=False)
+            )
         self.interval_s = (
             train_time_interval_hours * 3600 if train_time_interval_hours else None
         )

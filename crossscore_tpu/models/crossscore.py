@@ -66,6 +66,15 @@ class CrossScoreConfig:
         mlp_impl = str(m.tpu.get("mlp_impl", "auto"))
         if mlp_impl == "auto":
             mlp_impl = "fused" if jax.default_backend() not in ("cpu",) else "xla"
+        # parity preset (model.tpu.parity=true): the one-flag operating point
+        # for the BASELINE MAE<1e-3 check vs CrossScore-v1.0.0.ckpt — fp32
+        # compute (the fused kernels keep the exact erf GELU in fp32), no
+        # quantization. The default bf16 path's tanh-GELU alone deviates
+        # ~1.4e-3 at model level, above that budget (PERFORMANCE.md).
+        parity = bool(m.tpu.get("parity", False))
+        compute_dtype = jnp.float32 if parity else jnp.dtype(m.tpu.compute_dtype)
+        if parity and mlp_impl == "fused":
+            mlp_impl = "fused_exact"
         return CrossScoreConfig(
             backbone=VIT_PRESETS[preset],
             patch_size=m.patch_size,
@@ -81,10 +90,10 @@ class CrossScoreConfig:
             metric_min=m.predict.metric.min,
             metric_max=m.predict.metric.max,
             power_factor=m.predict.metric.power_factor,
-            compute_dtype=jnp.dtype(m.tpu.compute_dtype),
+            compute_dtype=compute_dtype,
             attention_impl=impl,
             remat_backbone=m.tpu.remat_backbone,
-            backbone_quant=str(m.tpu.get("backbone_quant", "none")),
+            backbone_quant="none" if parity else str(m.tpu.get("backbone_quant", "none")),
             mlp_impl=mlp_impl,
         )
 

@@ -108,7 +108,39 @@ def resolve_out_dir(cfg: Config, phase: str) -> Path:
         set_key(cfg, f"logger.{phase}.out_dir", str(out_dir))
     out_dir = Path(cfg.logger[phase].out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    save_config_snapshot(cfg, out_dir)
     return out_dir
+
+
+def save_config_snapshot(cfg: Config, out_dir: Path) -> Path:
+    """Persist the COMPOSED config into the run/out dir, making every archived
+    run self-describing (hydra writes ``.hydra/config.yaml`` into each run dir,
+    reference ``config/default.yaml:6-8``; this repo had no equivalent)."""
+    import yaml
+
+    path = Path(out_dir) / "config.yaml"
+    path.write_text(yaml.safe_dump(cfg.to_dict(), sort_keys=False))
+    return path
+
+
+def config_diff(old, new, prefix: str = "") -> list[str]:
+    """Recursive leaf-level diff of two nested config dicts, as
+    ``key.path: old -> new`` lines (used by the resume mismatch warning)."""
+    lines: list[str] = []
+    keys = sorted(set(old) | set(new)) if isinstance(old, dict) and isinstance(new, dict) else None
+    if keys is None:
+        if old != new:
+            lines.append(f"{prefix}: {old!r} -> {new!r}")
+        return lines
+    for k in keys:
+        p = f"{prefix}.{k}" if prefix else str(k)
+        if k not in old:
+            lines.append(f"{p}: <absent> -> {new[k]!r}")
+        elif k not in new:
+            lines.append(f"{p}: {old[k]!r} -> <absent>")
+        else:
+            lines.extend(config_diff(old[k], new[k], p))
+    return lines
 
 
 def load_model_params(cfg: Config, model, example_batch) -> dict:

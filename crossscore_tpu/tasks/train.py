@@ -60,6 +60,9 @@ def train(cfg) -> Path:
     ) / timestamp()
     if proc0:
         run_dir.mkdir(parents=True, exist_ok=True)
+        from crossscore_tpu.tasks.common import save_config_snapshot
+
+        save_config_snapshot(cfg, run_dir)
     logger = JsonlLogger(run_dir, cfg, use_wandb=cfg.logger.use_wandb) if proc0 else None
 
     # ------------------------------------------------------------------ data
@@ -98,17 +101,25 @@ def train(cfg) -> Path:
         num_shards=jax.process_count(),
         sharding=bsh,
     )
+    # the mesh data axis is sized for the TRAIN batch; a val batch size it
+    # does not divide falls back to replicated device_put (correct, just not
+    # batch-sharded — only reachable with mismatched train/val batch configs)
+    val_bs = cfg.data.loader.validation.batch_size
+    val_bsh = bsh if val_bs % mesh.shape["data"] == 0 else replicated(mesh)
     loader_val = Loader(
         ds_val,
-        batch_size=cfg.data.loader.validation.batch_size,
+        batch_size=val_bs,
         shuffle=cfg.data.loader.validation.shuffle,
         num_workers=cfg.data.loader.validation.num_workers,
         prefetch_batches=cfg.data.loader.validation.prefetch_factor,
         seed=cfg.seed + 1,
-        drop_last=True,
+        # keep the final partial batch (reference torch DataLoader default
+        # drop_last=False, task/train.py:86-103): padded duplicates are masked
+        # out of the metrics via _valid, so EVERY val sample is scored
+        drop_last=False,
         shard_index=jax.process_index(),
         num_shards=jax.process_count(),
-        sharding=bsh,
+        sharding=val_bsh,
     )
 
     from crossscore_tpu.tasks.common import resolve_limit
@@ -154,10 +165,29 @@ def train(cfg) -> Path:
         train_time_interval_hours=cfg.trainer.checkpointing.train_time_interval,
         every_n_train_steps=cfg.trainer.checkpointing.every_n_train_steps,
         every_n_epochs=cfg.trainer.checkpointing.every_n_epochs,
+        hparams=cfg.to_dict() if proc0 else None,
     )
     start_epoch, start_batch = 0, 0
     if cfg.trainer.ckpt_path_to_load is not None:
-        from crossscore_tpu.io.checkpoint import CheckpointManager as CM
+        from crossscore_tpu.io.checkpoint import CheckpointManager as CM, load_hparams
+
+        # the stored hparams make the ckpt self-describing; a resume under a
+        # DIFFERENT config is legal (e.g. new lr) but must be loud, because
+        # silent drift makes archived runs unreproducible
+        old_hparams = load_hparams(cfg.trainer.ckpt_path_to_load)
+        if old_hparams is not None:
+            from crossscore_tpu.tasks.common import config_diff
+
+            # run-identity keys (alias, out dirs) legitimately differ
+            diffs = [
+                d for d in config_diff(old_hparams, cfg.to_dict())
+                if not d.startswith(("alias:", "run.", "logger.", "trainer.ckpt_path_to_load:"))
+            ]
+            if diffs:
+                print(
+                    "WARNING: resuming with a config that differs from the "
+                    "checkpoint's hparams.yaml:\n  " + "\n  ".join(diffs)
+                )
 
         resume_mgr = CM(cfg.trainer.ckpt_path_to_load)
         state = resume_mgr.restore(None, like=state)

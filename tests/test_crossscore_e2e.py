@@ -173,6 +173,62 @@ class TestCrossScoreE2E:
         np.testing.assert_allclose(sums, 1.0, atol=1e-5)
 
 
+class TestParityPreset:
+    def test_from_config_resolution(self):
+        """model.tpu.parity=true is the one-flag operating point for the
+        BASELINE MAE<1e-3 check: it must force fp32 compute, the exact-erf
+        fused MLP, and no quantization regardless of what the other knobs say."""
+        from crossscore_tpu.confsys import load_config
+
+        cfg = load_config(
+            "default",
+            overrides=[
+                "model.tpu.parity=true",
+                "model.tpu.compute_dtype=bfloat16",
+                "model.tpu.mlp_impl=fused",
+                "model.tpu.backbone_quant=int8",
+            ],
+        )
+        mcfg = CrossScoreConfig.from_config(cfg)
+        assert mcfg.compute_dtype == jnp.float32
+        assert mcfg.mlp_impl == "fused_exact"
+        assert mcfg.backbone_quant == "none"
+
+    def test_parity_kernels_score_map_mae(self, stack, rng):
+        """Parity MAE on the operating point parity=true RESOLVES TO on TPU —
+        fp32 + the Pallas attention kernels (interpret mode on CPU) + the
+        exact-erf fused MLP kernel — not just the plain XLA path. This is the
+        preset the CrossScore-v1.0.0.ckpt runbook uses (ROADMAP.md)."""
+        hf, pe, dec, head0, head2 = stack
+        b, k, hw = 2, 3, 56
+        query = rng.standard_normal((b, hw, hw, 3)).astype(np.float32)
+        refs = rng.standard_normal((b, k, hw, hw, 3)).astype(np.float32)
+
+        expected = _torch_forward(
+            hf, pe, dec, head0, head2,
+            torch.tensor(query).permute(0, 3, 1, 2),
+            torch.tensor(refs).permute(0, 1, 4, 2, 3),
+        ).numpy()
+
+        params = convert_lightning_ckpt(
+            _lightning_style_state_dict(hf, pe, dec, head0, head2),
+            num_backbone_layers=VIT.num_layers,
+            num_decoder_layers=2,
+            d_model=D,
+        )
+        cfg = CrossScoreConfig(
+            backbone=VIT, patch_size=PATCH, pe_h=PE_HW, pe_w=PE_HW,
+            decoder_layers=2, decoder_heads=4,
+            attention_impl="pallas", mlp_impl="fused_exact",
+        )
+        out = CrossScoreNet(cfg).apply(
+            {"params": params}, jnp.asarray(query), jnp.asarray(refs)
+        )
+        score = np.asarray(out["score_map_ref_cross"])
+        mae = np.abs(score - expected).mean()
+        assert mae < 1e-4, f"parity-preset score-map MAE {mae} vs torch reference"
+
+
 class TestTrainableMask:
     def test_backbone_and_pe_frozen(self, stack):
         hf, pe, dec, head0, head2 = stack

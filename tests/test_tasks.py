@@ -168,6 +168,87 @@ class TestTrainTask:
             assert resumed[step] == pytest.approx(full[step], rel=1e-5), step
 
 
+class TestFullValidationSet:
+    def test_padded_final_val_batch_equals_exact_mean(self, ws):
+        """The training val loader keeps the final partial batch (reference
+        torch DataLoader default drop_last=False, task/train.py:86-103) and
+        masks the padded duplicates: with a val set NOT divisible by the batch
+        size, the weighted val loss must equal the exact per-item mean (= a
+        batch_size=1 run over the same samples)."""
+        from crossscore_tpu.tasks.train import main
+
+        common = SMALL_OVERRIDES + [
+            "data.dataset.path=[datadir]",
+            "data.loader.train.batch_size=2",
+            "data.loader.train.num_workers=1",
+            "data.loader.validation.num_workers=1",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=-1",
+            "trainer.num_sanity_val_steps=999",
+            "trainer.max_epochs=0",
+            "logger.cache_size.validation.n_fig=0",
+        ]
+
+        def val_loss(alias, bs):
+            run_dir = main(
+                common + [f"data.loader.validation.batch_size={bs}", f"alias={alias}"]
+            )
+            rows = [
+                json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()
+            ]
+            r = [x for x in rows if "validation/loss" in x]
+            assert len(r) == 1
+            return r[0]["validation/loss"]
+
+        # 7 val items: bs=2 -> 3 full batches + 1 padded single-item batch
+        assert val_loss("vb2", 2) == pytest.approx(val_loss("vb1", 1), rel=2e-5)
+
+
+class TestRunReproducibility:
+    def test_config_snapshot_and_hparams_warning(self, ws, capsys):
+        """Every run dir carries the composed config (hydra writes
+        .hydra/config.yaml, reference config/default.yaml:6-8) and every ckpt
+        dir carries hparams.yaml (Lightning save_hyperparameters,
+        task/core.py:170); resuming under a different config warns loudly."""
+        from crossscore_tpu.tasks.train import main
+
+        overrides = SMALL_OVERRIDES + [
+            "data.dataset.path=[datadir]",
+            "data.loader.train.batch_size=2",
+            "data.loader.validation.batch_size=2",
+            "data.loader.train.num_workers=1",
+            "data.loader.validation.num_workers=1",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=-1",
+            "trainer.num_sanity_val_steps=0",
+            "trainer.limit_train_batches=1",
+            "trainer.limit_val_batches=1",
+            "trainer.max_epochs=1",
+        ]
+        run_dir = main(overrides + ["alias=snap"])
+        import yaml
+
+        snap = yaml.safe_load((run_dir / "config.yaml").read_text())
+        assert snap["model"]["backbone"]["preset"] == "dinov2-test"
+        hp = yaml.safe_load((run_dir / "ckpt" / "hparams.yaml").read_text())
+        assert hp["trainer"]["optimizer"]["lr"] == snap["trainer"]["optimizer"]["lr"]
+        assert hp["data"]["transforms"]["crop_size"] == 56
+
+        capsys.readouterr()
+        main(
+            overrides
+            + [
+                f"trainer.ckpt_path_to_load={run_dir / 'ckpt'}",
+                "trainer.optimizer.lr=1e-5",
+                "trainer.max_epochs=2",
+                "alias=snap2",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "differs from the checkpoint's hparams" in out
+        assert "optimizer.lr" in out
+
+
 class TestViewParallelPredict:
     def test_view_parallel_matches_single_device(self, ws):
         """model.tpu.view_parallel=on shards K=8 refs over the 8-device CPU
