@@ -35,9 +35,97 @@ N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
 # the decoder. NOT the headline metric (the reference re-encodes refs per
 # item, task/core.py:119-161); reported separately in PERFORMANCE.md.
 CACHED = bool(int(os.environ.get("BENCH_CACHED", "0")))
+# BENCH_TRAIN=1: the TRAINING step at the reference's production operating
+# point (B=24, K=5, 518px crops, bf16 — config/data/combined_training.yaml) —
+# forward incl. frozen backbone, L1 loss, backward, masked AdamW, one jitted
+# graph. vs_baseline: the same ~30%-MFU A5000 estimate discipline as the
+# headline — ~17.5 TFLOP/step / (0.30 * 111 TFLOP/s) ≈ 525 ms/step.
+TRAIN = bool(int(os.environ.get("BENCH_TRAIN", "0")))
+BASELINE_TRAIN_MS_A5000 = 525.0
+
+
+def bench_train() -> None:
+    """Train-step throughput (BENCH_TRAIN=1): B=24 K=5 518px bf16, chained
+    states and a host scalar fetch per timed dispatch (the memoisation-proof
+    discipline from tools/train_microbench.py / PERFORMANCE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+    from crossscore_tpu.confsys import load_config
+    from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
+    from crossscore_tpu.train import make_optimizer, make_train_step, create_train_state
+
+    batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", 24))
+    k = int(os.environ.get("BENCH_TRAIN_K", 5))
+    hw = HW
+    n_it = max(2, N_ITERS // 3)
+
+    cfg = load_config("default")
+    mcfg = CrossScoreConfig.from_config(cfg)
+    model = CrossScoreNet(mcfg)
+    rng = np.random.default_rng(time.time_ns())
+    batch = {
+        "query/img": jnp.asarray(rng.standard_normal((batch_size, hw, hw, 3)), jnp.bfloat16),
+        "reference/cross/imgs": jnp.asarray(
+            rng.standard_normal((batch_size, k, hw, hw, 3)), jnp.bfloat16
+        ),
+        "query/score_map": jnp.asarray(rng.random((batch_size, hw, hw)), jnp.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["query/img"][:1, :70, :70],
+        batch["reference/cross/imgs"][:1, :, :70, :70],
+    )["params"]
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model, tx)
+
+    @jax.jit
+    def loop_state(state, batch):
+        def body(i, st):
+            b2 = dict(batch)
+            b2["query/img"] = batch["query/img"] * (
+                1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
+            )
+            return step_fn(st, b2)[0]
+
+        st = jax.lax.fori_loop(0, n_it, body, state)
+        return st, st.params["head_fc2"]["kernel"][0, 0]
+
+    state, _ = loop_state(state, {k2: v * jnp.asarray(0.5, v.dtype) for k2, v in batch.items()})
+    # chain state + scale every input per timed dispatch (memoisation-proof)
+    dts = []
+    for mult in (0.8, 1.0):
+        b2 = {k2: v * jnp.asarray(mult, v.dtype) for k2, v in batch.items()}
+        t0 = time.perf_counter()
+        state, anchor = loop_state(state, b2)
+        float(anchor)  # host scalar fetch = the only reliable sync
+        dts.append(time.perf_counter() - t0)
+    dt_ms = max(dts) / n_it * 1e3
+    floor_ms = batch_size * (1 + k) * 0.5  # >=0.5 ms per 518px image
+    if dt_ms < floor_ms:
+        print(f'{{"warning": "reading {dt_ms:.0f}ms < sanity floor '
+              f'{floor_ms:.0f}ms — likely memoised"}}')
+    print(
+        json.dumps(
+            {
+                "metric": f"train-step ms (B={batch_size}, K={k}, {hw}px, bf16)",
+                "value": round(dt_ms, 1),
+                "unit": "ms/step",
+                "vs_baseline": round(BASELINE_TRAIN_MS_A5000 / dt_ms, 2),
+            }
+        )
+    )
 
 
 def main() -> None:
+    if TRAIN:
+        bench_train()
+        return
+
     import jax
     import jax.numpy as jnp
 
