@@ -93,6 +93,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int,
             ]
             lib.fi_load_metric_mem.restype = ctypes.c_int
+            # pre-decoded raw-tensor payload variants (decoded record shards)
+            lib.fi_raw_info.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t
+            ] + [ctypes.POINTER(ctypes.c_int)] * 4
+            lib.fi_raw_info.restype = ctypes.c_int
+            lib.fi_load_rgb_raw.argtypes = list(lib.fi_load_rgb_mem.argtypes)
+            lib.fi_load_rgb_raw.restype = ctypes.c_int
+            lib.fi_load_metric_raw.argtypes = list(lib.fi_load_metric_mem.argtypes)
+            lib.fi_load_metric_raw.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -101,6 +110,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+# Pre-decoded raw-tensor payload magic (data/records.py decoded shards):
+# "CSRT" + u8 version + u8 dtype(0=u8,1=u16) + u8 channels + u8 pad +
+# u32le h + u32le w + C-order tensor bytes. The *_bytes loaders below sniff
+# this and skip PNG inflate entirely — a decoded-shard sample costs a pread
+# plus one fused crop/normalise pass in C.
+RAW_MAGIC = b"CSRT"
+
+
+def payload_is_raw(data: bytes) -> bool:
+    return data[:4] == RAW_MAGIC
 
 
 def image_info(path: str) -> tuple[int, int, int, int]:
@@ -119,9 +140,10 @@ def image_info_bytes(data: bytes) -> tuple[int, int, int, int]:
     if lib is None:
         raise RuntimeError("fastimage unavailable")
     h = ctypes.c_int(); w = ctypes.c_int(); c = ctypes.c_int(); b = ctypes.c_int()
-    rc = lib.fi_image_info_mem(data, len(data), h, w, c, b)
+    fn = lib.fi_raw_info if payload_is_raw(data) else lib.fi_image_info_mem
+    rc = fn(data, len(data), h, w, c, b)
     if rc:
-        raise IOError(f"fi_image_info_mem failed rc={rc}")
+        raise IOError(f"image_info_bytes failed rc={rc}")
     return h.value, w.value, c.value, b.value
 
 
@@ -149,13 +171,14 @@ def load_rgb_bytes(
             ch, cw = h, w
     if out is None:
         out = np.empty((ch, cw, 3), np.float32)
-    rc = lib.fi_load_rgb_mem(
+    fn = lib.fi_load_rgb_raw if payload_is_raw(data) else lib.fi_load_rgb_mem
+    rc = fn(
         data, len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         rh, rw, ci, cj, ch_arg, cw_arg, int(normalize),
     )
     if rc:
-        raise IOError(f"fi_load_rgb_mem failed rc={rc}")
+        raise IOError(f"load_rgb_bytes failed rc={rc}")
     return out
 
 
@@ -186,13 +209,14 @@ def load_metric_bytes(
             ch, cw = h, w
     if out is None:
         out = np.empty((ch, cw), np.float32)
-    rc = lib.fi_load_metric_mem(
+    fn = lib.fi_load_metric_raw if payload_is_raw(data) else lib.fi_load_metric_mem
+    rc = fn(
         data, len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mode, int(clamp01), int(square), rh, rw, ci, cj, ch_arg, cw_arg,
     )
     if rc:
-        raise IOError(f"fi_load_metric_mem failed rc={rc}")
+        raise IOError(f"load_metric_bytes failed rc={rc}")
     return out
 
 

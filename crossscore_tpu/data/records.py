@@ -11,12 +11,21 @@ without the dependency):
   ``shard-NNNNN.bin`` files (default 512 MB), and writes ``index.npz``
   (keys + per-record shard/offset/length arrays). Payloads stay PNG-encoded —
   decode cost is unchanged, the win is IO locality and file-handle pressure.
+- ``pack(..., decoded=True)``: payloads are PRE-DECODED raw tensors ("CSRT"
+  header + uint8 HWC / uint16 HW bytes, see ``encode_raw_payload``) — a
+  training sample then costs a pread + one fused crop/normalise C pass, no
+  PNG inflate (the decode was the measured host bottleneck: 473 imgs/s on
+  one core vs the ~615 the 234 ms production train step consumes).
+  Trade-off: raw uint8 540x720 RGB is ~1.17 MB vs ~0.5-0.8 MB PNG, so the
+  corpus grows ~1.5-2.3x on disk. Bit-exact: PNG decode is lossless, so the
+  stored tensor equals the decode output byte-for-byte (pinned in
+  tests/test_records.py).
 - ``RecordStore``: memory-maps nothing and keeps one fd per shard; ``read``
   uses ``os.pread`` (thread-safe, no seek contention across loader workers).
 
 CLI::
 
-    python -m crossscore_tpu.data.pack <dataset_root> <out_dir> [shard_mb]
+    python -m crossscore_tpu.data.pack <dataset_root> <out_dir> [shard_mb] [workers] [--decoded]
 
 Datasets opt in with ``data.dataset.record_dir=<out_dir>``; keys are POSIX
 paths relative to the dataset root, so the same NvsDataset index logic works
@@ -26,12 +35,44 @@ unchanged (split.json etc. stay on the filesystem).
 from __future__ import annotations
 
 import os
+import struct
 from pathlib import Path
 from typing import Iterable, Optional
 
 import numpy as np
 
 _INDEX = "index.npz"
+RAW_MAGIC = b"CSRT"
+
+
+def encode_raw_payload(path: str | Path) -> bytes:
+    """Decode one image file into the raw-tensor payload format consumed by
+    the native loaders (fastimage ``fi_*_raw``): 8-bit images become uint8
+    (H, W, 3) RGB; 16-bit gray metric maps become uint16 (H, W)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode in ("I", "I;16", "I;16B", "I;16L"):
+            arr = np.asarray(im).astype(np.uint16)
+            dtype_code, channels = 1, 1
+        else:
+            arr = np.asarray(im.convert("RGB"))
+            dtype_code, channels = 0, 3
+    h, w = arr.shape[:2]
+    header = RAW_MAGIC + bytes([1, dtype_code, channels, 0]) + struct.pack("<II", h, w)
+    return header + np.ascontiguousarray(arr).tobytes()
+
+
+def decode_raw_payload(data: bytes) -> np.ndarray:
+    """numpy fallback decode (the native path uses fastimage ``fi_*_raw``):
+    returns uint8 (H, W, 3) or uint16 (H, W)."""
+    if data[:4] != RAW_MAGIC or data[4] != 1:
+        raise ValueError("not a CSRT raw-tensor payload")
+    dtype_code, channels = data[5], data[6]
+    h, w = struct.unpack("<II", data[8:16])
+    dt = np.uint16 if dtype_code == 1 else np.uint8
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    return np.frombuffer(data, dt, count=h * w * channels, offset=16).reshape(shape)
 
 
 class RecordWriter:
@@ -121,11 +162,12 @@ class RecordStore:
 def _pack_chunk(args) -> int:
     """Worker: pack one contiguous file chunk into its own sub-directory.
     Module-level (picklable for ProcessPoolExecutor)."""
-    root, sub_dir, files, shard_mb = args
+    root, sub_dir, files, shard_mb, decoded = args
     root = Path(root)
     with RecordWriter(sub_dir, shard_mb=shard_mb) as w:
         for f in files:
-            w.write(Path(f).relative_to(root).as_posix(), Path(f).read_bytes())
+            payload = encode_raw_payload(f) if decoded else Path(f).read_bytes()
+            w.write(Path(f).relative_to(root).as_posix(), payload)
     return w._cur_idx + 1  # shards written
 
 
@@ -165,6 +207,7 @@ def pack(
     patterns: Iterable[str] = ("*.png", "*.jpg", "*.jpeg"),
     verbose: bool = True,
     workers: int = 1,
+    decoded: bool = False,
 ) -> int:
     """Pack every image under ``root`` into shards at ``out_dir``.
 
@@ -189,7 +232,8 @@ def pack(
     if workers == 1:
         with RecordWriter(out_dir, shard_mb=shard_mb) as w:
             for f in files:
-                w.write(f.relative_to(root).as_posix(), f.read_bytes())
+                payload = encode_raw_payload(f) if decoded else f.read_bytes()
+                w.write(f.relative_to(root).as_posix(), payload)
         n_shards = w._cur_idx + 1
     else:
         from concurrent.futures import ProcessPoolExecutor
@@ -202,7 +246,7 @@ def pack(
             counts = list(
                 pool.map(
                     _pack_chunk,
-                    [(str(root), sd, [str(f) for f in ch], shard_mb)
+                    [(str(root), sd, [str(f) for f in ch], shard_mb, decoded)
                      for sd, ch in zip(sub_dirs, chunks)],
                 )
             )
@@ -211,7 +255,8 @@ def pack(
     if verbose:
         total = sum(f.stat().st_size for f in files)
         print(
-            f"packed {len(files)} files ({total / 2**20:.1f} MB) from {root} "
+            f"packed {len(files)} files ({total / 2**20:.1f} MB"
+            f"{', decoded' if decoded else ''}) from {root} "
             f"into {out_dir} ({n_shards} shard(s), {workers} worker(s))"
         )
     return len(files)

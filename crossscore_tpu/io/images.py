@@ -42,9 +42,15 @@ def image_read(path: str | Path) -> np.ndarray:
 
 
 def image_read_bytes(data: bytes) -> np.ndarray:
-    """Encoded image bytes (e.g. from a RecordStore) -> float32 (H, W, 3)."""
+    """Encoded image bytes (e.g. from a RecordStore) -> float32 (H, W, 3).
+    Accepts PNG/JPEG bytes or a pre-decoded raw-tensor payload (decoded
+    record shards, ``data/records.py::encode_raw_payload``)."""
     import io as _io
 
+    if data[:4] == b"CSRT":
+        from crossscore_tpu.data.records import decode_raw_payload
+
+        return f32(decode_raw_payload(data))
     img = np.array(Image.open(_io.BytesIO(data)))
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
@@ -54,10 +60,16 @@ def image_read_bytes(data: bytes) -> np.ndarray:
 
 
 def metric_map_read_bytes(data: bytes, vrange: list | tuple) -> np.ndarray:
-    """Encoded 16-bit PNG bytes -> float32 (H, W) in the requested range."""
+    """Encoded 16-bit PNG bytes (or a pre-decoded uint16 raw payload) ->
+    float32 (H, W) in the requested range."""
     import io as _io
 
-    m = np.array(Image.open(_io.BytesIO(data))).astype(np.float32)
+    if data[:4] == b"CSRT":
+        from crossscore_tpu.data.records import decode_raw_payload
+
+        m = decode_raw_payload(data).astype(np.float32)
+    else:
+        m = np.array(Image.open(_io.BytesIO(data))).astype(np.float32)
     vrange = list(vrange)
     if vrange == [0, 1]:
         return m / 65535.0

@@ -216,25 +216,48 @@ int fi_image_info(const char* path, int* h, int* w, int* channels, int* bit_dept
     return 0;
 }
 
-static int load_rgb_from(PngImage& img, float* out, int resize_h, int resize_w,
-                         int crop_i, int crop_j, int crop_h, int crop_w,
-                         int normalize) {
-    if (img.channels != 3 || img.bit_depth != 8) return 4;
+// shared post-decode chain from a raw u8 HWC(3) buffer (PNG-decoded rows or a
+// pre-decoded record-shard tensor). Without a resize, the u8->f32 convert,
+// crop and normalise fuse into ONE pass over the crop window only (identical
+// arithmetic per element, so bit-identical to the staged form).
+static int rgb_from_u8(const uint8_t* p8, int in_h, int in_w, float* out,
+                       int resize_h, int resize_w,
+                       int crop_i, int crop_j, int crop_h, int crop_w,
+                       int normalize) {
+    int h = in_h, w = in_w;
+    bool need_resize =
+        resize_h > 0 && resize_w > 0 && (resize_h != h || resize_w != w);
 
-    int h = img.h, w = img.w;
+    if (!need_resize) {
+        int ci = 0, cj = 0, ch = h, cw = w;
+        if (crop_h > 0 && crop_w > 0) {
+            ci = crop_i; cj = crop_j; ch = crop_h; cw = crop_w;
+            if (ci < 0 || cj < 0 || ci + ch > h || cj + cw > w) return 5;
+        }
+        for (int y = 0; y < ch; ++y) {
+            const uint8_t* srow = p8 + ((size_t)(ci + y) * w + cj) * 3;
+            float* drow = out + (size_t)y * cw * 3;
+            if (normalize) {
+                for (int x = 0; x < cw; ++x)
+                    for (int c = 0; c < 3; ++c)
+                        drow[x * 3 + c] =
+                            (srow[x * 3 + c] * (1.0f / 255.0f) - kImagenetMean[c]) /
+                            kImagenetStd[c];
+            } else {
+                for (int i = 0; i < cw * 3; ++i) drow[i] = srow[i] * (1.0f / 255.0f);
+            }
+        }
+        return 0;
+    }
+
     std::vector<float> f32((size_t)h * w * 3);
-    const uint8_t* p8 = img.data.data();
     for (size_t i = 0; i < f32.size(); ++i) f32[i] = p8[i] * (1.0f / 255.0f);
 
-    std::vector<float> resized;
-    const float* cur = f32.data();
-    if (resize_h > 0 && resize_w > 0 && (resize_h != h || resize_w != w)) {
-        resized.resize((size_t)resize_h * resize_w * 3);
-        resize_f32(cur, h, w, 3, resized.data(), resize_h, resize_w);
-        cur = resized.data();
-        h = resize_h;
-        w = resize_w;
-    }
+    std::vector<float> resized((size_t)resize_h * resize_w * 3);
+    resize_f32(f32.data(), h, w, 3, resized.data(), resize_h, resize_w);
+    const float* cur = resized.data();
+    h = resize_h;
+    w = resize_w;
 
     int ci = 0, cj = 0, ch = h, cw = w;
     if (crop_h > 0 && crop_w > 0) {
@@ -253,6 +276,14 @@ static int load_rgb_from(PngImage& img, float* out, int resize_h, int resize_w,
         }
     }
     return 0;
+}
+
+static int load_rgb_from(PngImage& img, float* out, int resize_h, int resize_w,
+                         int crop_i, int crop_j, int crop_h, int crop_w,
+                         int normalize) {
+    if (img.channels != 3 || img.bit_depth != 8) return 4;
+    return rgb_from_u8(img.data.data(), img.h, img.w, out, resize_h, resize_w,
+                       crop_i, crop_j, crop_h, crop_w, normalize);
 }
 
 // out must hold crop_h*crop_w*3 (or post-resize/full dims when crop_h<=0) floats.
@@ -274,14 +305,38 @@ int fi_load_rgb_mem(const uint8_t* data, size_t len, float* out,
     return load_rgb_from(img, out, resize_h, resize_w, crop_i, crop_j, crop_h, crop_w, normalize);
 }
 
-static int load_metric_from(PngImage& img, float* out, int vrange_mode, int clamp01,
-                            int square, int resize_h, int resize_w,
-                            int crop_i, int crop_j, int crop_h, int crop_w) {
-    if (img.channels != 1 || img.bit_depth != 16) return 4;
+// shared post-decode chain from a raw u16 HW buffer; see rgb_from_u8. Without
+// a resize the crop window alone is converted (the elementwise vrange/clamp/
+// square transforms commute with cropping — bit-identical results).
+static int metric_from_u16(const uint16_t* p16, int in_h, int in_w, float* out,
+                           int vrange_mode, int clamp01, int square,
+                           int resize_h, int resize_w,
+                           int crop_i, int crop_j, int crop_h, int crop_w) {
+    int h = in_h, w = in_w;
+    bool need_resize =
+        resize_h > 0 && resize_w > 0 && (resize_h != h || resize_w != w);
 
-    int h = img.h, w = img.w;
+    if (!need_resize) {
+        int ci = 0, cj = 0, ch = h, cw = w;
+        if (crop_h > 0 && crop_w > 0) {
+            ci = crop_i; cj = crop_j; ch = crop_h; cw = crop_w;
+            if (ci < 0 || cj < 0 || ci + ch > h || cj + cw > w) return 5;
+        }
+        for (int y = 0; y < ch; ++y) {
+            const uint16_t* srow = p16 + (size_t)(ci + y) * w + cj;
+            float* drow = out + (size_t)y * cw;
+            for (int x = 0; x < cw; ++x) {
+                float v = vrange_mode == 0 ? srow[x] * (1.0f / 65535.0f)
+                                           : srow[x] * (1.0f / 32767.0f) - 1.0f;
+                if (clamp01) v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+                if (square) v = v * v;
+                drow[x] = v;
+            }
+        }
+        return 0;
+    }
+
     std::vector<float> f32((size_t)h * w);
-    const uint16_t* p16 = reinterpret_cast<const uint16_t*>(img.data.data());
     if (vrange_mode == 0) {
         for (size_t i = 0; i < f32.size(); ++i) f32[i] = p16[i] * (1.0f / 65535.0f);
     } else {
@@ -292,15 +347,11 @@ static int load_metric_from(PngImage& img, float* out, int vrange_mode, int clam
     if (square)
         for (auto& v : f32) v = v * v;
 
-    std::vector<float> resized;
-    const float* cur = f32.data();
-    if (resize_h > 0 && resize_w > 0 && (resize_h != h || resize_w != w)) {
-        resized.resize((size_t)resize_h * resize_w);
-        resize_f32(cur, h, w, 1, resized.data(), resize_h, resize_w);
-        cur = resized.data();
-        h = resize_h;
-        w = resize_w;
-    }
+    std::vector<float> resized((size_t)resize_h * resize_w);
+    resize_f32(f32.data(), h, w, 1, resized.data(), resize_h, resize_w);
+    const float* cur = resized.data();
+    h = resize_h;
+    w = resize_w;
 
     int ci = 0, cj = 0, ch = h, cw = w;
     if (crop_h > 0 && crop_w > 0) {
@@ -310,6 +361,15 @@ static int load_metric_from(PngImage& img, float* out, int vrange_mode, int clam
     for (int y = 0; y < ch; ++y)
         std::memcpy(out + (size_t)y * cw, cur + (size_t)(ci + y) * w + cj, sizeof(float) * cw);
     return 0;
+}
+
+static int load_metric_from(PngImage& img, float* out, int vrange_mode, int clamp01,
+                            int square, int resize_h, int resize_w,
+                            int crop_i, int crop_j, int crop_h, int crop_w) {
+    if (img.channels != 1 || img.bit_depth != 16) return 4;
+    return metric_from_u16(reinterpret_cast<const uint16_t*>(img.data.data()),
+                           img.h, img.w, out, vrange_mode, clamp01, square,
+                           resize_h, resize_w, crop_i, crop_j, crop_h, crop_w);
 }
 
 // 16-bit gray metric map. vrange_mode: 0 -> /65535 ([0,1]); 1 -> /32767-1 ([-1,1]).
@@ -332,6 +392,61 @@ int fi_load_metric_mem(const uint8_t* data, size_t len, float* out,
     if (rc) return rc;
     return load_metric_from(img, out, vrange_mode, clamp01, square,
                             resize_h, resize_w, crop_i, crop_j, crop_h, crop_w);
+}
+
+// ---- pre-decoded raw-tensor payloads (record shards, data/records.py) ----
+//
+// Payload layout (little-endian): "CSRT" magic, u8 version (1), u8 dtype
+// (0 = uint8, 1 = uint16), u8 channels, u8 reserved, u32 h, u32 w, then the
+// C-order tensor bytes. A training sample from a decoded shard costs a pread
+// + this fused crop/normalise pass — no PNG inflate at all.
+
+static int parse_raw_header(const uint8_t* data, size_t len,
+                            int* h, int* w, int* channels, int* dtype) {
+    if (len < 16 || std::memcmp(data, "CSRT", 4) != 0 || data[4] != 1) return 6;
+    *dtype = data[5];
+    *channels = data[6];
+    uint32_t hh, ww;
+    std::memcpy(&hh, data + 8, 4);
+    std::memcpy(&ww, data + 12, 4);
+    *h = (int)hh;
+    *w = (int)ww;
+    size_t elem = *dtype == 1 ? 2 : 1;
+    if (16 + (size_t)hh * ww * *channels * elem > len) return 6;
+    return 0;
+}
+
+int fi_raw_info(const uint8_t* data, size_t len,
+                int* h, int* w, int* channels, int* bit_depth) {
+    int dtype;
+    int rc = parse_raw_header(data, len, h, w, channels, &dtype);
+    if (rc) return rc;
+    *bit_depth = dtype == 1 ? 16 : 8;
+    return 0;
+}
+
+int fi_load_rgb_raw(const uint8_t* data, size_t len, float* out,
+                    int resize_h, int resize_w,
+                    int crop_i, int crop_j, int crop_h, int crop_w, int normalize) {
+    int h, w, channels, dtype;
+    int rc = parse_raw_header(data, len, &h, &w, &channels, &dtype);
+    if (rc) return rc;
+    if (channels != 3 || dtype != 0) return 4;
+    return rgb_from_u8(data + 16, h, w, out, resize_h, resize_w,
+                       crop_i, crop_j, crop_h, crop_w, normalize);
+}
+
+int fi_load_metric_raw(const uint8_t* data, size_t len, float* out,
+                       int vrange_mode, int clamp01, int square,
+                       int resize_h, int resize_w,
+                       int crop_i, int crop_j, int crop_h, int crop_w) {
+    int h, w, channels, dtype;
+    int rc = parse_raw_header(data, len, &h, &w, &channels, &dtype);
+    if (rc) return rc;
+    if (channels != 1 || dtype != 1) return 4;
+    return metric_from_u16(reinterpret_cast<const uint16_t*>(data + 16), h, w, out,
+                           vrange_mode, clamp01, square,
+                           resize_h, resize_w, crop_i, crop_j, crop_h, crop_w);
 }
 
 int fi_image_info_mem(const uint8_t* data, size_t len,

@@ -35,6 +35,8 @@ def main():
         generate(root / "data", hw=(270, 360),
                  scenes_per_split={"train": 2, "test": 1})
         pack(root / "data", root / "packed", shard_mb=256, verbose=False)
+        pack(root / "data", root / "decoded", shard_mb=256, verbose=False,
+             decoded=True)
 
         kw = dict(
             dataset_path=str(root / "data"), resolution=None, data_split="train",
@@ -49,6 +51,7 @@ def main():
             variants += [
                 ("fs /native ", {}, True),
                 ("rec/native ", {"record_dir": str(root / "packed")}, True),
+                ("raw/native ", {"record_dir": str(root / "decoded")}, True),
             ]
         real_available = fastimage.available
         for tag, extra, use_native in variants:
