@@ -64,12 +64,19 @@ class RefTokenCache:
         self.disk_hits = 0
 
     @staticmethod
-    def _key(path: str, hw: tuple) -> tuple:
+    def _key(path: str, hw: tuple, valid: "tuple | None" = None) -> tuple:
+        """``hw``: the pixel shape the encoder sees (the BUCKET shape under
+        shape-bucketed serving); ``valid``: the item's true (h, w) when the
+        pixels are bucket-padded — tokens are a function of (pixels, mask), so
+        both belong in the key."""
         try:
             mtime = Path(path).stat().st_mtime_ns
         except OSError:
             mtime = 0
-        return (path, mtime, (int(hw[0]), int(hw[1])))
+        key = (path, mtime, (int(hw[0]), int(hw[1])))
+        if valid is not None and tuple(int(v) for v in valid) != key[2]:
+            key = key + ((int(valid[0]), int(valid[1])),)
+        return key
 
     # ------------------------------------------------------- disk persistence
 
@@ -120,7 +127,7 @@ class RefTokenCache:
         return self._disk_load(key) is not None
 
     def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray,
-               skipped=None) -> np.ndarray:
+               skipped=None, valid_hw=None) -> np.ndarray:
         """:param ref_paths: per-view path lists ``[k][b]`` (the collated
             ``batch["item_paths"]["reference/cross/imgs"]`` layout).
         :param ref_imgs: (B, K, H, W, 3) normalised pixels (host numpy).
@@ -128,13 +135,24 @@ class RefTokenCache:
             placeholder zeros because the loader skipped decoding on a cache
             hit; they MUST resolve from the cache (raises if evicted —
             raise ``max_items`` if that ever fires).
+        :param valid_hw: optional per-item (B, 2) true pixel extents for
+            BUCKET-PADDED batches (shape-bucketed serving): an item's K refs
+            share its shape; misses encode with the mask and cache under a
+            (bucket, valid)-qualified key.
         :return: (B, K, N_patch, D) tokens, dtype = encode_fn's output."""
         b, k = ref_imgs.shape[:2]
-        keys = [[self._key(ref_paths[kk][bb], ref_imgs.shape[2:4])
+        if valid_hw is None:
+            valids = [None] * b
+        else:
+            vhw = np.asarray(valid_hw)
+            # (B, 2) per-item, or a shared (2,) batch extent
+            valids = ([tuple(vhw)] * b if vhw.ndim == 1
+                      else [tuple(v) for v in vhw])
+        keys = [[self._key(ref_paths[kk][bb], ref_imgs.shape[2:4], valids[bb])
                  for kk in range(k)] for bb in range(b)]
 
         # unique misses, first-occurrence order
-        miss: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        miss: "OrderedDict[tuple, tuple]" = OrderedDict()
         for bb in range(b):
             for kk in range(k):
                 key = keys[bb][kk]
@@ -149,7 +167,7 @@ class RefTokenCache:
                     continue
                 if (key not in self._cache and key not in miss
                         and self._disk_load(key) is None):
-                    miss[key] = ref_imgs[bb, kk]
+                    miss[key] = (ref_imgs[bb, kk], valids[bb])
         self.hits += b * k - sum(
             1 for bb in range(b) for kk in range(k) if keys[bb][kk] in miss
         )
@@ -157,7 +175,8 @@ class RefTokenCache:
 
         if miss:
             miss_keys = list(miss.keys())
-            imgs = np.stack(list(miss.values()))
+            imgs = np.stack([v[0] for v in miss.values()])
+            miss_valid = [v[1] for v in miss.values()]
             for i0 in range(0, len(miss_keys), self._batch):
                 chunk = imgs[i0:i0 + self._batch]
                 n_valid = len(chunk)
@@ -166,7 +185,14 @@ class RefTokenCache:
                         chunk[-1:], (self._batch - n_valid, *chunk.shape[1:])
                     )
                     chunk = np.concatenate([chunk, pad])
-                tokens = np.asarray(self._encode(chunk))
+                if valid_hw is None:
+                    tokens = np.asarray(self._encode(chunk))
+                else:
+                    vchunk = miss_valid[i0:i0 + self._batch]
+                    vchunk = vchunk + [vchunk[-1]] * (self._batch - len(vchunk))
+                    tokens = np.asarray(
+                        self._encode(chunk, np.asarray(vchunk, np.int32))
+                    )
                 for j in range(n_valid):
                     self._put(miss_keys[i0 + j], tokens[j])
 

@@ -290,8 +290,17 @@ def make_backbone_encoder(cfg: CrossScoreConfig):
         mlp_impl=cfg.mlp_impl,
     )
 
-    def encode(params, imgs):
-        tokens = enc.apply({"params": params["backbone"]}, imgs)
+    def encode(params, imgs, valid_hw=None):
+        """``valid_hw`` (B, 2): per-image valid pixel extents for BUCKET-PADDED
+        inputs (shape-bucketed serving) — tokens of padded patches are masked
+        out of the encoder's attention and get no position embedding, so the
+        valid tokens equal an unpadded encode exactly (the same guarantee the
+        full net gives, models/dinov2.py valid_grid)."""
+        valid_grid = None
+        if valid_hw is not None:
+            p = cfg.patch_size
+            valid_grid = (valid_hw[:, 0] // p, valid_hw[:, 1] // p)
+        tokens = enc.apply({"params": params["backbone"]}, imgs, valid_grid)
         return jax.lax.stop_gradient(tokens[:, 1:])
 
     return encode

@@ -930,6 +930,149 @@ def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
     return o, l[..., 0], m[..., 0]
 
 
+def _bwd_kernel_cross_ln(bias_ref, qp_ref, dop_ref, kp_ref, vp_ref, lb_ref,
+                         delta_ref, dq_ref, dk_ref, dv_ref, dq_scr, *,
+                         c1: float, sm_scale: float, hd: int, hpack: int,
+                         q_chunks: int, cq: int):
+    """Layout-native flash backward for the decoder cross-attention (token-
+    major packed (B, N, H*hd) arrays, ``hpack`` heads per 128-lane block —
+    the same layout as ``_fwd_kernel_cross_ln``, so training needs NO
+    head-major relayout: the r2 backward paid ~15 ms/step of pad/slice/copy
+    re-tiling (B,8,6845,64) views around ``_bwd_pallas_multi``; this kernel
+    consumes the projections' natural layout. Head-major bf16 (…, N, 64)
+    arrays are also lane-padded to 128 in HBM, so token-major halves the
+    backward's HBM traffic on q/k/v/do/dq/dk/dv.
+
+    Grid (B, n_lane_blocks, Nk/bk), KV sequential: dk/dv are exact per KV
+    block (whole q axis reduced in-cell over ``q_chunks`` chunks); dq
+    accumulates in fp32 scratch, written at the last KV block. Same
+    score-tile recipe as ``_bwd_kernel_multi`` (one fused exp2 recomputing p
+    with 1/l folded into lb, fused (dp - delta)*p*scale, bf16 matmul
+    operands, fp32 accumulation)."""
+    kvi = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(kvi == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    for j in range(hpack):
+        lane = slice(j * hd, (j + 1) * hd)
+        k = kp_ref[0][:, lane]
+        v = vp_ref[0][:, lane]
+        dk_acc = None
+        dv_acc = None
+        for qc in range(q_chunks):
+            sl = slice(qc * cq, (qc + 1) * cq)
+            q = qp_ref[0][sl, lane]
+            do = dop_ref[0][sl, lane]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (cq, bk)
+            p = jnp.exp2(s * c1 - lb_ref[0, j][sl] + bias_ref[0])
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - delta_ref[0, j][sl]) * sm_scale
+            pb = p.astype(k.dtype)
+            dsb = ds.astype(k.dtype)
+            dq_scr[sl, lane] += jax.lax.dot(dsb, k, preferred_element_type=jnp.float32)
+            dk_c = jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dv_c = jax.lax.dot_general(
+                pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
+            dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
+        dk_ref[0, :, lane] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, lane] = dv_acc.astype(dv_ref.dtype)
+
+    @pl.when(kvi == nkv - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_k"))
+def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
+                         block_k: int = 1024):
+    """Token-major packed backward. qp/kp/vp/o/do: (B, N, H*hd) with hd the
+    PADDED head dim; l, m: (B, H, Nq) in the forward's head order
+    (h = lane_block * hpack + sub). Returns token-major (dq, dk, dv)."""
+    b, nq, dtot = qp.shape
+    nk = kp.shape[1]
+    h = num_heads
+    hpack = LANES // hd
+    nlb = dtot // LANES
+    sm_scale = 1.0 / (hd ** 0.5)
+    nk_p = _ceil_to(nk, block_k)
+    # tighter live-tile budget than _bwd_pallas_multi's 700k: the token-major
+    # q/do/dq blocks are 128 lanes wide (vs 64 head-major), costing ~1.4 MB
+    # more of the 16M scoped VMEM (measured OOMs: 1.27M over at cq=464
+    # bk=1024, 124K over at cq=344 bk=1024 — hence 300k + the caller's bk=512)
+    q_chunks = max(1, -(-nq * block_k // 300_000))
+    cq = _ceil_to(-(-nq // q_chunks), 8)
+    nq_p = cq * q_chunks
+
+    qf = jnp.pad(qp, ((0, 0), (0, nq_p - nq), (0, 0)))
+    dof = jnp.pad(do, ((0, 0), (0, nq_p - nq), (0, 0)))
+    kf = jnp.pad(kp, ((0, 0), (0, nk_p - nk), (0, 0)))
+    vf = jnp.pad(vp, ((0, 0), (0, nk_p - nk), (0, 0)))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    # lb: exp2-base log-normaliser; padded q rows get +big so their p == 0
+    lb = (m + jnp.log(l_safe)) * LOG2E  # (B, H, Nq)
+    lb = jnp.pad(lb, ((0, 0), (0, 0), (0, nq_p - nq)), constant_values=1e30)[..., None]
+    # delta_h = sum_d o*do over head h's lane window; lane order (block, sub)
+    # matches the forward's l/m head order
+    delta = (o.astype(jnp.float32) * do.astype(jnp.float32)).reshape(
+        b, nq, h, hd
+    ).sum(-1).transpose(0, 2, 1)  # (B, H, Nq)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, nq_p - nq)))[..., None]
+    bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF).astype(jnp.float32)
+    bias = bias.reshape(1, nk_p)
+
+    kernel = functools.partial(
+        _bwd_kernel_cross_ln, c1=sm_scale * LOG2E, sm_scale=sm_scale, hd=hd,
+        hpack=hpack, q_chunks=q_chunks, cq=cq,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, nlb, nk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k), lambda b_, p, ki: (0, ki)),
+            pl.BlockSpec((1, nq_p, LANES), lambda b_, p, ki: (b_, 0, p)),
+            pl.BlockSpec((1, nq_p, LANES), lambda b_, p, ki: (b_, 0, p)),
+            pl.BlockSpec((1, block_k, LANES), lambda b_, p, ki: (b_, ki, p)),
+            pl.BlockSpec((1, block_k, LANES), lambda b_, p, ki: (b_, ki, p)),
+            pl.BlockSpec((1, hpack, nq_p, 1), lambda b_, p, ki: (b_, p, 0, 0)),
+            pl.BlockSpec((1, hpack, nq_p, 1), lambda b_, p, ki: (b_, p, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq_p, LANES), lambda b_, p, ki: (b_, 0, p)),
+            pl.BlockSpec((1, block_k, LANES), lambda b_, p, ki: (b_, ki, p)),
+            pl.BlockSpec((1, block_k, LANES), lambda b_, p, ki: (b_, ki, p)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq_p, dtot), qp.dtype),
+            jax.ShapeDtypeStruct((b, nk_p, dtot), kp.dtype),
+            jax.ShapeDtypeStruct((b, nk_p, dtot), vp.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nq_p, LANES), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * nq_p * nk_p * hd,
+            bytes_accessed=b * (4 * nq_p * (nk_p // block_k) + 4 * nk_p) * dtot * 2 // nlb,
+            transcendentals=b * h * nq_p * nk_p,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(bias, qf, dof, kf, vf, lb, delta)
+
+    return dq[:, :nq], dk[:, :nk], dv[:, :nk]
+
+
 def pick_cross_ln_blocks(nq: int, nk: int) -> tuple[int, int]:
     """(block_q, block_k) for the layout-native cross kernel, sized to the
     16M scoped-VMEM limit: the unrolled head pair keeps TWO live
@@ -952,9 +1095,9 @@ def flash_cross_attention_ln(qp, kp, vp, num_heads: int, hd: int,
     qp/kp/vp: (B, N, H*hd) with hd the PADDED head dim (128 % hd == 0; pad
     lanes zero). The softmax scale applied is 1/sqrt(hd) of the PADDED dim —
     callers with a smaller true head dim fold the correction into the q
-    projection (``HeadLaneProj.prescale``). Backward reconstructs head-major
-    views and reuses the existing flash-style backward (training pays the
-    relayout; inference does not)."""
+    projection (``HeadLaneProj.prescale``). Backward is the layout-native
+    token-major kernel (``_bwd_cross_ln_pallas``) — no head-major relayout
+    anywhere in training (r2 paid ~15 ms/step of pad/slice/copy for it)."""
     o, _, _ = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd,
                                   block_q=block_q, block_k=block_k)
     return o
@@ -973,15 +1116,10 @@ def _fcaln_fwd(qp, kp, vp, num_heads, hd, block_q, block_k):
 
 def _fcaln_bwd(num_heads, hd, block_q, block_k, residuals, do):
     qp, kp, vp, o, l, m = residuals
-    h = num_heads
-    q = _split_packed(qp, h, hd)
-    k = _split_packed(kp, h, hd)
-    v = _split_packed(vp, h, hd)
-    o_h = _split_packed(o, h, hd)
-    do_h = _split_packed(do, h, hd)
-    dq, dk, dv = _dispatch_bwd((q, k, v, o_h, l, m), do_h, 1024)
-    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[2], -1)
-    return pack(dq), pack(dk), pack(dv)
+    # bk=512 (not the forward's 1024): halves the KV/dk/dv block VMEM so the
+    # 128-lane-wide q/do/dq blocks + score tiles fit the 16M scoped limit
+    return _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads, hd,
+                                block_k=min(block_k, 512))
 
 
 flash_cross_attention_ln.defvjp(_fcaln_fwd, _fcaln_bwd)

@@ -103,7 +103,6 @@ def predict(cfg) -> Path:
     use_cache = (
         cache_mode != "off"
         and not use_vp
-        and not use_buckets
         and not cfg.model.need_attn_weights
         and k_refs > 0
         and not cfg.data.dataset.zero_reference
@@ -111,6 +110,9 @@ def predict(cfg) -> Path:
         # global-batch semantics would need sharded device_put of the tokens
         and jax.process_count() == 1
     )
+    # cache x shape-bucketing composes (r3): misses encode bucket-padded
+    # pixels with the per-item valid mask; keys carry (bucket, valid) shapes;
+    # the cached decoder step masks exactly like the uncached bucketed path.
     if use_vp:
         print(f"view-parallel predict: K={k_refs} refs sharded over {n_dev} devices")
     loader_kw = dict(
@@ -179,7 +181,7 @@ def predict(cfg) -> Path:
         max_items = int(cfg.this_main.get("ref_token_cache_max_items", 2048))
         encode = jax.jit(make_backbone_encoder(mcfg))
         token_cache = RefTokenCache(
-            lambda imgs: encode(params, imgs),
+            lambda imgs, valid_hw=None: encode(params, imgs, valid_hw),
             encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
             max_items=max_items,
             persist_dir=cfg.this_main.get("ref_token_cache_dir"),
@@ -187,9 +189,12 @@ def predict(cfg) -> Path:
         step_cached = jax.jit(make_predict_step_cached(model))
         # skip the HOST DECODE of cache-hit references too (the loader emits
         # placeholders) when nothing downstream consumes reference pixels and
-        # the whole reference pool fits the cache (no eviction possible)
+        # the whole reference pool fits the cache (no eviction possible).
+        # Bucketed batches keep decoding (their keys carry the bucket shape,
+        # which the loader-side header probe does not know).
         use_skip = (
             vis_every <= 0
+            and not use_buckets
             and not cfg.logger.predict.write.flag.image_reference
             and fastimage.available()
             and hasattr(dataset, "reference_pool_size")
@@ -198,10 +203,17 @@ def predict(cfg) -> Path:
         if use_skip:
             dataset.ref_pixel_skip = token_cache.has
         print(f"reference-token cache: on (frozen backbone, exact; "
-              f"decode-skip {'on' if use_skip else 'off'})")
+              f"decode-skip {'on' if use_skip else 'off'}"
+              f"{'; bucketed' if use_buckets else ''})")
 
-        def step(params, query, refs, _batch_paths=None, _skipped=None):
-            tokens = token_cache.gather(_batch_paths, refs, skipped=_skipped)
+        def step(params, query, refs, _batch_paths=None, _skipped=None,
+                 _valid_hw=None):
+            tokens = token_cache.gather(_batch_paths, refs, skipped=_skipped,
+                                        valid_hw=_valid_hw)
+            if _valid_hw is not None:
+                import jax.numpy as jnp
+
+                return step_cached(params, query, tokens, jnp.asarray(_valid_hw))
             return step_cached(params, query, tokens)
 
     elif not use_vp:
@@ -257,7 +269,16 @@ def predict(cfg) -> Path:
     for batch_idx, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and batch_idx >= max_batches:
             break
-        if use_buckets:
+        if use_buckets and use_cache:
+            outputs_dev = step(
+                params,
+                batch["query/img"],
+                batch["reference/cross/imgs"],
+                _batch_paths=batch["item_paths"]["reference/cross/imgs"],
+                _skipped=batch.get("reference/skipped"),
+                _valid_hw=batch["_valid_hw"],
+            )
+        elif use_buckets:
             outputs_dev = step(
                 params,
                 batch["query/img"],

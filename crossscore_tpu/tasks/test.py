@@ -79,7 +79,6 @@ def test(cfg) -> Path:
     cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
     use_cache = (
         cache_mode != "off"
-        and not use_buckets
         and int(cfg.data.neighbour_config.cross) > 0
         and not cfg.data.dataset.zero_reference
         # multi-host: the cached batch stays host-local (sharding=None);
@@ -135,12 +134,13 @@ def test(cfg) -> Path:
 
         encode = jax.jit(make_backbone_encoder(mcfg))
         token_cache = RefTokenCache(
-            lambda imgs: encode(params, imgs),
+            lambda imgs, valid_hw=None: encode(params, imgs, valid_hw),
             encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
             max_items=int(cfg.this_main.get("ref_token_cache_max_items", 2048)),
             persist_dir=cfg.this_main.get("ref_token_cache_dir"),
         )
-        print("reference-token cache: on (frozen backbone, exact)")
+        print("reference-token cache: on (frozen backbone, exact"
+              f"{'; bucketed' if use_buckets else ''})")
 
     vis_every = cfg.logger.test.write.config.vis_img_every_n_steps
     from crossscore_tpu.tasks.common import resolve_limit
@@ -206,6 +206,9 @@ def test(cfg) -> Path:
             arrays["reference/cross/tokens"] = token_cache.gather(
                 batch["item_paths"]["reference/cross/imgs"],
                 batch["reference/cross/imgs"],
+                # bucket-padded batches: per-item valid shapes qualify the
+                # cache keys and mask the miss-encode (cache x bucketing)
+                valid_hw=batch.get("_valid_hw"),
             )
             del arrays["reference/cross/imgs"]  # pixels stay host-side
         pred_dev, metrics_dev = eval_step(params, arrays)

@@ -162,11 +162,14 @@ def make_predict_step(model: CrossScoreNet, need_attn_weights: bool = False, hea
 def make_predict_step_cached(model: CrossScoreNet):
     """Predict step consuming precomputed reference tokens (the
     cached-reference serving path, ``data/token_cache.py``): only the query
-    goes through the frozen backbone."""
+    goes through the frozen backbone. ``valid_hw`` (B, 2) composes the cache
+    with shape-bucketed serving — the query encode and the decoder mask the
+    bucket padding exactly as the uncached bucketed path does."""
 
-    def predict_step(params, query_img, ref_tokens):
+    def predict_step(params, query_img, ref_tokens, valid_hw=None):
         return model.apply(
-            {"params": params}, query_img, None, ref_tokens=ref_tokens
+            {"params": params}, query_img, None, ref_tokens=ref_tokens,
+            valid_hw=valid_hw,
         )
 
     return predict_step

@@ -190,6 +190,31 @@ class TestLayoutNativeCross:
         for a, b_ in zip(g_ln, g_d):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
+    def test_grads_match_dense_multi_laneblock(self, rng):
+        """The token-major backward kernel (_bwd_cross_ln_pallas) at the
+        production decoder layout: 8 heads x hd 64 = 4 lane blocks of 2
+        packed heads, unaligned nq (37), multi-block KV (nk=3*37 padded to
+        block_k) — dq/dk/dv must match dense autodiff."""
+        from crossscore_tpu.ops.flash_attention import flash_cross_attention_ln
+
+        h, hd, nq, nk = 8, 64, 37, 111
+        (q, k, v), (qp, kp, vp) = self._packed(rng, 2, h, nq, nk, hd)
+
+        def loss_ln(qp, kp, vp):
+            o = flash_cross_attention_ln(qp, kp, vp, h, hd, 0, 128)
+            return jnp.sum(jnp.square(o) * jnp.cos(o))
+
+        def loss_dense(qp, kp, vp):
+            un = lambda x: x.reshape(2, x.shape[1], h, hd).transpose(0, 2, 1, 3)
+            o = dense_attention(un(qp), un(kp), un(vp)).transpose(0, 2, 1, 3)
+            o = o.reshape(2, nq, h * hd)
+            return jnp.sum(jnp.square(o) * jnp.cos(o))
+
+        g_ln = jax.grad(loss_ln, argnums=(0, 1, 2))(qp, kp, vp)
+        g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(qp, kp, vp)
+        for a, b_ in zip(g_ln, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
     def test_mha_module_parity_and_param_tree(self, rng):
         """TorchStyleMHA(pallas) routes through the layout-native path with
         the SAME param tree as the xla path, same outputs, same grads."""

@@ -196,6 +196,125 @@ class TestTestTaskWithCache:
                                        rtol=1e-5, atol=1e-6, err_msg=col)
 
 
+class TestCacheWithBucketing:
+    """Cache x shape-bucketing composition (VERDICT r2 #5): bucket-padded
+    batches route through the token cache with per-item valid masks and
+    (bucket, valid)-qualified keys; metrics match the uncached bucketed run."""
+
+    def test_bucketed_cached_eval_matches_uncached(self, tmp_path):
+        from crossscore_tpu.data.synthetic import generate
+        from crossscore_tpu.tasks.test import main
+
+        generate(tmp_path / "datadir", hw=[(84, 112), (112, 84)],
+                 scenes_per_split={"train": 1, "test": 2})
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            common = [
+                "trainer.accelerator=cpu",
+                "model.tpu.compute_dtype=float32",
+                "model.backbone.preset=dinov2-test",
+                "data.neighbour_config.cross=2",
+                "data.dataset.path=[datadir]",
+                "data.loader.validation.batch_size=2",
+                "data.loader.validation.num_workers=1",
+                "this_main.resize_short_side=-1",
+                "this_main.shape_buckets=auto",
+                "this_main.bucket_multiple=56",
+                "this_main.ref_token_cache_encode_batch=2",
+            ]
+            out_off = main(common + ["this_main.ref_token_cache=off", "alias=bnc"])
+            out_on = main(common + ["this_main.ref_token_cache=on", "alias=bwc"])
+        finally:
+            os.chdir(old)
+        import pandas as pd
+
+        def load(out):
+            if not out.is_absolute():
+                out = tmp_path / out
+            return pd.read_csv(out / "metrics.csv")
+
+        df_off, df_on = load(out_off), load(out_on)
+        assert list(df_off["batch_idx"]) == list(df_on["batch_idx"])
+        for col in df_off.columns[1:]:
+            np.testing.assert_allclose(df_on[col], df_off[col],
+                                       rtol=1e-5, atol=1e-6, err_msg=col)
+
+
+class TestSharedDiskStore:
+    """Multi-process serving fleet pattern: ONE packer process fills the
+    persistent store; reader processes serve read-only with ZERO encodes."""
+
+    def _paths(self, tmp_path, n):
+        paths = []
+        for i in range(n):
+            p = tmp_path / f"ref_{i}.png"
+            p.write_bytes(b"fleet")
+            paths.append(str(p))
+        return paths
+
+    def test_one_packer_many_readers(self, tmp_path):
+        import subprocess
+        import sys
+
+        store = tmp_path / "store"
+        paths = self._paths(tmp_path, 4)
+        # the PACKER is a separate OS process (one packer, N reader fleet)
+        script = f"""
+import sys; sys.path.insert(0, {str(os.getcwd())!r})
+import numpy as np
+from crossscore_tpu.data.token_cache import RefTokenCache
+def encode(imgs):
+    s = imgs.reshape(imgs.shape[0], -1).sum(axis=1)
+    return np.tile(s[:, None, None], (1, 4, 2)).astype(np.float32)
+cache = RefTokenCache(encode, encode_batch=2, persist_dir={str(store)!r})
+imgs = np.ones((1, 4, 8, 8, 3), np.float32)
+cache.gather([[p] for p in {paths!r}], imgs)
+print("packed", cache.misses)
+"""
+        res = subprocess.run([sys.executable, "-c", script],
+                             capture_output=True, text=True, cwd="/root/repo")
+        assert "packed 4" in res.stdout, res.stderr
+
+        def must_not_encode(imgs):
+            raise AssertionError("reader fleet must never encode")
+
+        for _ in range(2):  # two independent readers
+            reader = RefTokenCache(must_not_encode, persist_dir=str(store))
+            imgs = np.ones((1, 4, 8, 8, 3), np.float32)
+            out = reader.gather([[p] for p in paths], imgs)
+            assert out.shape == (1, 4, 4, 2)
+            np.testing.assert_allclose(out[0, :, 0, 0], imgs[0, 0].sum())
+            assert reader.disk_hits == 4 and reader.misses == 0
+
+    def test_concurrent_writers_atomic(self, tmp_path):
+        """Two caches racing to persist the same keys: atomic tmp+rename means
+        readers always see a complete payload."""
+        import threading
+
+        store = tmp_path / "store"
+        paths = self._paths(tmp_path, 6)
+        imgs = np.ones((1, 6, 8, 8, 3), np.float32)
+
+        def encode(x):
+            s = x.reshape(x.shape[0], -1).sum(axis=1)
+            return np.tile(s[:, None, None], (1, 4, 2)).astype(np.float32)
+
+        def work():
+            c = RefTokenCache(encode, encode_batch=2, persist_dir=str(store))
+            c.gather([[p] for p in paths], imgs)
+
+        ts = [threading.Thread(target=work) for _ in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        reader = RefTokenCache(lambda x: (_ for _ in ()).throw(AssertionError()),
+                               persist_dir=str(store))
+        out = reader.gather([[p] for p in paths], imgs)
+        assert reader.disk_hits == 6
+
+
 class TestDecodeSkip:
     """Cache-hit references skip the host PNG decode entirely (placeholder
     pixels; tokens resolve from the cache) — outputs must stay identical."""
