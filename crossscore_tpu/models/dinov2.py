@@ -242,14 +242,23 @@ class Dinov2Encoder(nn.Module):
     mlp_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, valid_grid=None) -> jnp.ndarray:
-        """``valid_grid``: traced (gh_v, gw_v) for shape-bucketed inference —
+    def __call__(self, images, valid_grid=None) -> jnp.ndarray:
+        """``images``: (B, H, W, 3), or a TUPLE of same-(H, W) image batches —
+        the batches are patch-embedded separately and concatenated at the
+        TOKEN level. The caller's query+references stack then never exists as
+        one pixel array: the r3 train trace showed ~3.7 ms/step of pad/concat/
+        relayout copies building the (B*(1+K), 518, 518, 3) input (232 MB
+        bf16) that a (B*(1+K), 1369, D) token concat (151 MB) avoids.
+
+        ``valid_grid``: traced (gh_v, gw_v) for shape-bucketed inference —
         images are bucket-padded right/bottom; position embeddings are sampled
         for the VALID grid and tokens from padded patches are masked out of
         every self-attention (their residual-stream values stay garbage but
-        cannot influence valid tokens)."""
+        cannot influence valid tokens). With a tuple input, per-item grids
+        follow the concatenated batch order."""
         c = self.cfg
-        b, hgt, wdt, _ = images.shape
+        groups = images if isinstance(images, (tuple, list)) else (images,)
+        hgt, wdt = groups[0].shape[1:3]
         p = c.patch_size
         gh, gw = hgt // p, wdt // p
         n = gh * gw
@@ -264,14 +273,20 @@ class Dinov2Encoder(nn.Module):
         # unchanged; VALID conv with stride P gives torch's floor semantics
         # for non-multiple sizes (e.g. 518x918 predict images).
         kernel, bias = _DenseParams(c.hidden_size, name="patch_proj")(p * p * 3)
-        x = jax.lax.conv_general_dilated(
-            images[:, : gh * p, : gw * p].astype(self.dtype),
-            kernel.reshape(p, p, 3, c.hidden_size).astype(self.dtype),
-            window_strides=(p, p),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        x = (x + bias.astype(self.dtype)).reshape(b, n, c.hidden_size)
+        embeds = []
+        for g in groups:
+            e = jax.lax.conv_general_dilated(
+                g[:, : gh * p, : gw * p].astype(self.dtype),
+                kernel.reshape(p, p, 3, c.hidden_size).astype(self.dtype),
+                window_strides=(p, p),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            embeds.append(
+                (e + bias.astype(self.dtype)).reshape(g.shape[0], n, c.hidden_size)
+            )
+        x = embeds[0] if len(embeds) == 1 else jnp.concatenate(embeds, axis=0)
+        b = x.shape[0]
 
         # --- CLS + position embeddings ---
         cls_token = self.param(

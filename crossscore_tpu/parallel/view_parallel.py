@@ -58,3 +58,32 @@ def make_view_parallel_apply(
         out_specs=P(),
         check_vma=False,  # pallas_call outputs don't declare vma
     )
+
+
+def make_view_parallel_apply_tokens(
+    model,
+    mesh: Mesh,
+    axis_name: Optional[str] = None,
+):
+    """Token-consuming twin of :func:`make_view_parallel_apply` — the
+    cache x view-parallel serving composition: precomputed reference tokens
+    (B, K, N, D) are sharded over the view axis and the decoder combines them
+    via the same context-parallel softmax; only the query is encoded (on
+    every chip — its cost is 1/K of the uncached VP step's per-chip work)."""
+    axis_name = axis_name or mesh.axis_names[0]
+    if not model.cfg.attention_impl.startswith("cp:"):
+        raise ValueError(
+            f"model.attention_impl must be 'cp:{axis_name}', got {model.cfg.attention_impl!r}"
+        )
+
+    def body(params, query, tokens_local):
+        out = model.apply({"params": params}, query, None, ref_tokens=tokens_local)
+        return out["score_map_ref_cross"]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )

@@ -102,7 +102,6 @@ def predict(cfg) -> Path:
     cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
     use_cache = (
         cache_mode != "off"
-        and not use_vp
         and not cfg.model.need_attn_weights
         and k_refs > 0
         and not cfg.data.dataset.zero_reference
@@ -113,6 +112,9 @@ def predict(cfg) -> Path:
     # cache x shape-bucketing composes (r3): misses encode bucket-padded
     # pixels with the per-item valid mask; keys carry (bucket, valid) shapes;
     # the cached decoder step masks exactly like the uncached bucketed path.
+    # cache x view-parallel composes too: cached tokens shard over the view
+    # axis (make_view_parallel_apply_tokens) — the exact context-parallel
+    # softmax combine is token-source-agnostic.
     if use_vp:
         print(f"view-parallel predict: K={k_refs} refs sharded over {n_dev} devices")
     loader_kw = dict(
@@ -204,17 +206,33 @@ def predict(cfg) -> Path:
             dataset.ref_pixel_skip = token_cache.has
         print(f"reference-token cache: on (frozen backbone, exact; "
               f"decode-skip {'on' if use_skip else 'off'}"
-              f"{'; bucketed' if use_buckets else ''})")
+              f"{'; bucketed' if use_buckets else ''}"
+              f"{'; view-parallel' if use_vp else ''})")
 
-        def step(params, query, refs, _batch_paths=None, _skipped=None,
-                 _valid_hw=None):
-            tokens = token_cache.gather(_batch_paths, refs, skipped=_skipped,
-                                        valid_hw=_valid_hw)
-            if _valid_hw is not None:
-                import jax.numpy as jnp
+        if use_vp:
+            from crossscore_tpu.parallel.view_parallel import (
+                make_view_parallel_apply_tokens,
+            )
 
-                return step_cached(params, query, tokens, jnp.asarray(_valid_hw))
-            return step_cached(params, query, tokens)
+            vp_tok_fn = make_view_parallel_apply_tokens(vp_model, mesh)
+
+            def step(params, query, refs, _batch_paths=None, _skipped=None,
+                     _valid_hw=None):
+                tokens = token_cache.gather(_batch_paths, refs, skipped=_skipped)
+                return {
+                    "score_map_ref_cross": vp_tok_fn(params, query, tokens)
+                }
+        else:
+
+            def step(params, query, refs, _batch_paths=None, _skipped=None,
+                     _valid_hw=None):
+                tokens = token_cache.gather(_batch_paths, refs, skipped=_skipped,
+                                            valid_hw=_valid_hw)
+                if _valid_hw is not None:
+                    import jax.numpy as jnp
+
+                    return step_cached(params, query, tokens, jnp.asarray(_valid_hw))
+                return step_cached(params, query, tokens)
 
     elif not use_vp:
         step = jax.jit(

@@ -276,6 +276,36 @@ class TestViewParallelPredict:
             assert np.abs(va - vb).max() <= 1, a.name  # uint16 quantised maps
 
 
+class TestViewParallelCachedPredict:
+    def test_vp_with_token_cache_matches_vp_plain(self, ws):
+        """cache x view-parallel composition (VERDICT r2 #5): cached reference
+        tokens sharded over the view axis produce the same score maps as the
+        uncached view-parallel path (context-parallel softmax is token-source
+        agnostic)."""
+        from crossscore_tpu.tasks.predict import main
+
+        common = SMALL_OVERRIDES + [
+            "data.dataset.query_dir=datadir/res_540/s00002/test/ours_1000/renders",
+            "data.dataset.reference_dir=datadir/res_540/s00002/train/ours_1000/gt",
+            "data.neighbour_config.cross=8",
+            "data.loader.validation.batch_size=2",
+            "data.loader.validation.num_workers=1",
+            "this_main.resize_short_side=84",
+            "model.tpu.view_parallel=on",
+            "this_main.ref_token_cache_encode_batch=4",
+        ]
+        out_plain = main(common + ["this_main.ref_token_cache=off", "alias=vpnc"])
+        out_cached = main(common + ["this_main.ref_token_cache=on", "alias=vpwc"])
+        maps_a = sorted((out_plain / "batch" / "score_map_ref_cross").glob("*.png"))
+        maps_b = sorted((out_cached / "batch" / "score_map_ref_cross").glob("*.png"))
+        assert [p.name for p in maps_a] == [p.name for p in maps_b] and maps_a
+        import imageio.v3 as iio
+
+        for a, b in zip(maps_a, maps_b):
+            va, vb = iio.imread(a).astype(np.int32), iio.imread(b).astype(np.int32)
+            assert np.abs(va - vb).max() <= 1, a.name  # uint16 quantised maps
+
+
 class TestPredictEdgeCases:
     def test_k_exceeds_available_refs_pads_with_empty(self, ws):
         """K=6 > 4 available references: sampler pads with empty_image zeros."""
