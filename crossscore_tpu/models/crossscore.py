@@ -270,10 +270,12 @@ class CrossScoreNet(nn.Module):
             y = nn.leaky_relu(y)  # default negative_slope 0.01, matches torch
             y = nn.Dense(p * p, dtype=dt, name="head_fc2")(y)
             act = regression_activation(c.metric_type, c.metric_min, c.metric_max, c.power_factor)
-            y = act(y.astype(jnp.float32))
-
+            # jigsaw BEFORE the fp32 cast: the reassembly is a pure
+            # permutation, so act(jigsaw(y)) == jigsaw(act(y)) exactly, and
+            # the physical transpose moves half the bytes in bf16 (the r3
+            # train trace showed ~1.2 ms of f32 (24,37,14,37,14) copies)
             score_map = jigsaw_to_image(y.reshape(b, n_patch, p, p), (gh, gw))
-            results["score_map_ref_cross"] = score_map
+            results["score_map_ref_cross"] = act(score_map.astype(jnp.float32))
 
             if need_attn_weights and mha_weights is not None:
                 results["attn_weights_map_ref_cross"] = mha_weights.reshape(

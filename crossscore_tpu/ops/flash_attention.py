@@ -993,9 +993,10 @@ def _bwd_kernel_cross_ln(bias_ref, qp_ref, dop_ref, kp_ref, vp_ref, lb_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_k"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_k",
+                                             "qc_budget"))
 def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
-                         block_k: int = 1024):
+                         block_k: int = 1024, qc_budget: int = 300_000):
     """Token-major packed backward. qp/kp/vp/o/do: (B, N, H*hd) with hd the
     PADDED head dim; l, m: (B, H, Nq) in the forward's head order
     (h = lane_block * hpack + sub). Returns token-major (dq, dk, dv)."""
@@ -1010,7 +1011,7 @@ def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
     # q/do/dq blocks are 128 lanes wide (vs 64 head-major), costing ~1.4 MB
     # more of the 16M scoped VMEM (measured OOMs: 1.27M over at cq=464
     # bk=1024, 124K over at cq=344 bk=1024 — hence 300k + the caller's bk=512)
-    q_chunks = max(1, -(-nq * block_k // 300_000))
+    q_chunks = max(1, -(-nq * block_k // qc_budget))
     cq = _ceil_to(-(-nq // q_chunks), 8)
     nq_p = cq * q_chunks
 
@@ -1116,10 +1117,12 @@ def _fcaln_fwd(qp, kp, vp, num_heads, hd, block_q, block_k):
 
 def _fcaln_bwd(num_heads, hd, block_q, block_k, residuals, do):
     qp, kp, vp, o, l, m = residuals
-    # bk=512 (not the forward's 1024): halves the KV/dk/dv block VMEM so the
-    # 128-lane-wide q/do/dq blocks + score tiles fit the 16M scoped limit
+    # bk=768/420k: best of the r3 block sweep (tools/bwd_microbench.py —
+    # 18.09 ms/layer vs 18.56 at bk=512/300k; bk=1024 needs q chunks too small
+    # to win, and raising scoped VMEM to 32M unlocked nothing: the kernel is
+    # hd=64 MXU-bound, not VMEM-starved)
     return _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads, hd,
-                                block_k=min(block_k, 512))
+                                block_k=min(block_k, 768), qc_budget=420_000)
 
 
 flash_cross_attention_ln.defvjp(_fcaln_fwd, _fcaln_bwd)
