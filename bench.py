@@ -95,7 +95,10 @@ def bench_train() -> None:
         st = jax.lax.fori_loop(0, n_it, body, state)
         return st, st.params["head_fc2"]["kernel"][0, 0]
 
-    state, _ = loop_state(state, {k2: v * jnp.asarray(0.5, v.dtype) for k2, v in batch.items()})
+    state, warm_anchor = loop_state(
+        state, {k2: v * jnp.asarray(0.5, v.dtype) for k2, v in batch.items()}
+    )
+    float(warm_anchor)  # fetch = sync: compile+warmup must finish BEFORE t0
     # chain state + scale every input per timed dispatch (memoisation-proof)
     dts = []
     for mult in (0.8, 1.0):
