@@ -215,6 +215,9 @@ def train(cfg) -> Path:
     (run_dir / "vis").mkdir(parents=True, exist_ok=True)
 
     def run_validation(epoch: int, step: int, max_batches: int):
+        if max_batches <= 0:
+            return  # don't even spin up the loader: its producer thread
+            # eagerly decodes a full prefetch batch the consumer would discard
         losses, corrs, weights = [], [], []
         for vb_idx, vbatch in enumerate(loader_val.epoch(epoch)):
             if vb_idx >= max_batches:

@@ -1,11 +1,18 @@
 """On-chip training-convergence demonstration (VERDICT r2 #9).
 
-Overfits ONE production-shaped batch (B=24, K=5, 518px crops, bf16,
-deterministic crops — the reference's ``overfit_batches`` mode,
-``config/default.yaml:27`` + ``task/train.py:61,66``) through the REAL train
-CLI until the train-batch correlation exceeds 0.95 and the L1 loss nears its
-floor — proving the full gradient path (Pallas forward+backward kernels,
-masked AdamW, StepLR) trains, not merely executes.
+Overfits ONE batch (B=4, K=2, 224px crops, bf16, deterministic crops — the
+reference's ``overfit_batches`` mode, ``config/default.yaml:27`` +
+``task/train.py:61,66``) through the REAL train CLI until the train-batch
+correlation exceeds 0.95 and the L1 loss nears its floor — proving the full
+gradient path (Pallas forward+backward kernels, masked AdamW, StepLR)
+trains, not merely executes.
+
+The batch is intentionally smaller than the production operating point: in
+THIS environment the TPU sits behind a tunnel, so each step's H2D transfer
+(463 MB of fp32 pixels at B=24/518px) dominates wall time by >50x — a purely
+environmental artifact (CLAUDE.md); the gradient-path claim is shape-
+independent, and the production-shape step itself is timed separately
+(tools/train_microbench.py, 205 ms/step on-chip).
 
 Usage: python tools/overfit_convergence.py [steps] [workdir]
 """
@@ -22,6 +29,7 @@ def main():
     workdir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/tmp/overfit_ws")
     workdir.mkdir(parents=True, exist_ok=True)
 
+    from crossscore_tpu.data.records import pack
     from crossscore_tpu.data.synthetic import generate
 
     data = workdir / "datadir"
@@ -29,6 +37,10 @@ def main():
         # 2 train scenes x (8 gs_train + 4 gs_test) = 24 query items = one B=24 batch
         generate(data, hw=(540, 720), scenes_per_split={"train": 2, "val": 1, "test": 1},
                  n_train_imgs=8, n_test_imgs=4)
+    if not (workdir / "decoded" / "index.npz").exists():
+        # random-noise synthetic PNGs are pathological to inflate (~50 ms each
+        # on this 1-core host); decoded shards make the overfit loop IO-free
+        pack(data, workdir / "decoded", shard_mb=512, verbose=True, decoded=True)
 
     import os
 
@@ -37,18 +49,20 @@ def main():
 
     run_dir = train_main([
         "data.dataset.path=[datadir]",
-        "data.loader.train.batch_size=24",
+        f"data.dataset.record_dir={workdir / 'decoded'}",
+        "data.loader.train.batch_size=4",
         "data.loader.train.num_workers=4",
-        "data.loader.validation.batch_size=24",
+        "data.loader.validation.batch_size=4",
         "data.loader.validation.num_workers=1",
-        "data.neighbour_config.cross=5",
-        "data.transforms.crop_size=518",
+        "data.neighbour_config.cross=2",
+        "data.transforms.crop_size=224",
         "this_main.resize_short_side=-1",
         "trainer.overfit_batches=1",
         f"trainer.max_epochs={steps}",
         "trainer.num_sanity_val_steps=0",
         "trainer.limit_val_batches=0",
         "trainer.optimizer.lr=1e-3",
+        "trainer.lr_scheduler.step_size=1000",  # keep lr flat over the run
         "logger.vis_scalar_every_n_train_steps=1",
         "logger.vis_imgs_every_n_train_steps=100000",
         "logger.vis_histogram_every_n_train_steps=100000",
