@@ -14,7 +14,7 @@ environmental artifact (CLAUDE.md); the gradient-path claim is shape-
 independent, and the production-shape step itself is timed separately
 (tools/train_microbench.py, 205 ms/step on-chip).
 
-Usage: python tools/overfit_convergence.py [steps] [workdir]
+Usage: python tools/overfit_convergence.py [steps] [workdir] [crop]
 """
 
 import json
@@ -27,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     workdir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/tmp/overfit_ws")
+    crop = int(sys.argv[3]) if len(sys.argv) > 3 else 224
     workdir.mkdir(parents=True, exist_ok=True)
 
     from crossscore_tpu.data.records import pack
@@ -55,7 +56,7 @@ def main():
         "data.loader.validation.batch_size=4",
         "data.loader.validation.num_workers=1",
         "data.neighbour_config.cross=2",
-        "data.transforms.crop_size=224",
+        f"data.transforms.crop_size={crop}",
         "this_main.resize_short_side=-1",
         "trainer.overfit_batches=1",
         f"trainer.max_epochs={steps}",
@@ -65,6 +66,13 @@ def main():
         # corr rises to ~0.45 then collapses); 3e-4 converges to 0.99
         "trainer.optimizer.lr=3e-4",
         "trainer.lr_scheduler.step_size=1000",  # keep lr flat over the run
+        # trainable multi-view PE (reference `pos_enc.multi_view.req_grad`)
+        # gives per-position capacity; without it the frozen-RANDOM backbone's
+        # features cap memorisation ~0.78 corr at this size (r3 measured)
+        "model.pos_enc.multi_view.req_grad=true",
+        # unclamped ssim targets ([-1,1], tanh head): the min=0 clamp flattens
+        # half of each synthetic map to exactly 0, starving the correlation
+        "model.predict.metric.min=-1",
         "logger.vis_scalar_every_n_train_steps=1",
         "logger.vis_imgs_every_n_train_steps=100000",
         "logger.vis_histogram_every_n_train_steps=100000",

@@ -54,7 +54,16 @@ def main():
 
     # in-graph loop of N steps with an iteration-dependent input perturbation
     # (PERFORMANCE.md timing rules: per-dispatch timings are unreliable here)
-    @jax.jit
+    import functools
+    import os
+
+    vmem_kib = os.environ.get("SCOPED_VMEM_KIB")  # forwarding works: CLAUDE.md
+    jit_kw = (
+        {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": vmem_kib}}
+        if vmem_kib else {}
+    )
+
+    @functools.partial(jax.jit, **jit_kw)
     def loop_state(state, batch):
         # returns the FULL updated state so successive timed dispatches chain
         # distinct state inputs (memoisation-proof)
