@@ -33,8 +33,10 @@ def main():
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     k_views = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    h, hd = 8, 64
-    nq, nk = 1369, k_views * 1369
+    nq = int(sys.argv[3]) if len(sys.argv) > 3 else 1369
+    h = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    hd = 64
+    nk = k_views * nq
     dtot = h * hd
 
     rng = np.random.default_rng(time.time_ns())
