@@ -1300,13 +1300,20 @@ def _fwd_kernel_qkv(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "hpack",
-                                             "probe", "chunks"))
+                                             "probe", "chunks", "sched"))
 def _flash_qkv_fwd(qkv, num_heads: int, block_q: int = 0, hpack: int = 2,
-                   kv_bias=None, probe: str = "", chunks: int = 1):
+                   kv_bias=None, probe: str = "", chunks: int = 1,
+                   sched: str = ""):
     """qkv: (B, N, 3*D) fused projection output -> (o (B,N,D), l, m (B,H,N)).
 
     ``kv_bias``: optional (N,) additive logits bias over the token axis
-    (masking for shape-bucketed inference)."""
+    (masking for shape-bucketed inference).
+
+    ``sched``: Mosaic SCHEDULING experiments (A/B'd in tools/attn_microbench;
+    results in PERFORMANCE.md). "+"-joined tokens: "allpar" marks the q-block
+    grid dim parallel instead of arbitrary; "fuse" sets allow_input_fusion
+    (XLA may fuse the qkv-projection epilogue into the kernel's operands);
+    "vmem<MB>" raises the Mosaic VMEM limit for this kernel."""
     b, n, d3 = qkv.shape
     d = d3 // 3
     h = num_heads
@@ -1386,12 +1393,27 @@ def _flash_qkv_fwd(qkv, num_heads: int, block_q: int = 0, hpack: int = 2,
             bytes_accessed=b * n * d3 * 2 * 2,
             transcendentals=b * h * n * n,
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        compiler_params=_sched_params(sched, n_inputs=len(inputs)),
         interpret=jax.default_backend() == "cpu",
     )(*inputs)
     return o, l[..., 0], m[..., 0]  # l, m: (B, H, N)
+
+
+def _sched_params(sched: str, n_inputs: int) -> pltpu.CompilerParams:
+    """CompilerParams for ``_flash_qkv_fwd``'s ``sched`` experiment tokens."""
+    toks = [t for t in sched.split("+") if t]
+    kw: dict = {
+        "dimension_semantics": (
+            "parallel", "parallel",
+            "parallel" if "allpar" in toks else "arbitrary",
+        )
+    }
+    if "fuse" in toks:
+        kw["allow_input_fusion"] = (True,) * n_inputs
+    for t in toks:
+        if t.startswith("vmem"):
+            kw["vmem_limit_bytes"] = int(t[4:]) * 1024 * 1024
+    return pltpu.CompilerParams(**kw)
 
 
 def flash_qkv_self_attention_masked(qkv, kv_bias, num_heads: int,

@@ -154,13 +154,17 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
         if name in ("qkv", "qkvc"):
             # layout-native kernel: spec qkv:<block_q>,<hpack> or
             # qkvc:<block_q>,<hpack>,<n_chunks> (in-VMEM chunked online
-            # softmax for MXU/VPU overlap). The loop carries (B, N, 3D)
+            # softmax for MXU/VPU overlap). A trailing non-numeric part is a
+            # Mosaic scheduling experiment, e.g. qkv:688,2,1,allpar+fuse
+            # (see _flash_qkv_fwd sched). The loop carries (B, N, 3D)
             # directly; the o->qkv tile between layers costs one ~0.5ms copy
             # shared by all qkv specs (absent in the real model, where the
             # qkv projection produces the layout).
             from crossscore_tpu.ops.flash_attention import _flash_qkv_fwd
 
-            parts = [int(x) for x in blocks.split(",")]
+            raw = blocks.split(",")
+            sched = raw.pop() if not raw[-1].lstrip("-").isdigit() else ""
+            parts = [int(x) for x in raw]
             bq, hp = parts[0], parts[1]
             n_chunks = parts[2] if len(parts) > 2 else 1
             d3 = 3 * H * HD
@@ -170,10 +174,10 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
             )
 
             @jax.jit
-            def loop(qkv, _bq=bq, _hp=hp, _nc=n_chunks):
+            def loop(qkv, _bq=bq, _hp=hp, _nc=n_chunks, _sched=sched):
                 def body(i, cur):
                     o = _flash_qkv_fwd(cur, H, block_q=_bq, hpack=_hp,
-                                       chunks=_nc)[0]
+                                       chunks=_nc, sched=_sched)[0]
                     scale = 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
                     return jnp.tile(o * scale, (1, 1, 3))
 
@@ -183,7 +187,8 @@ def _run_spec(spec, jax, jnp, _flash_fwd, q0, k0, v0, flops_per_layer, ref_out):
                 out = jax.lax.fori_loop(0, N_IT, layer_chain, qkv)
                 return out[0, 0, 0].astype(jnp.float32)
 
-            out = _flash_qkv_fwd(qkv0, H, block_q=bq, hpack=hp, chunks=n_chunks)[0]
+            out = _flash_qkv_fwd(qkv0, H, block_q=bq, hpack=hp, chunks=n_chunks,
+                                 sched=sched)[0]
             out = out.reshape(B, N, H, HD).transpose(0, 2, 1, 3)
             out.block_until_ready()
             diff = 0.0 if ref_out is None else float(
