@@ -1,6 +1,7 @@
 from crossscore_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    local_batch_sharding,
     replicated,
     param_shardings,
     shard_batch,

@@ -81,6 +81,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def local_batch_sharding(batch_size: int) -> NamedSharding:
+    """Host-LOCAL 1-D batch sharding (not registered as the current mesh).
+
+    The cached-serving path computes on each process's own query shard with
+    host-local batches (reference DDP-predict semantics, ``task/predict.py:
+    119-124``: every rank runs its subset and writes rank-qualified files) —
+    a global SPMD mesh cannot be fed from host-local arrays, but a mesh of
+    ``jax.local_devices()`` can, and it keeps all local chips busy. On a
+    single process this is ordinary single-host data parallelism."""
+    devs = jax.local_devices()
+    n = len(devs)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return NamedSharding(Mesh(np.asarray(devs[:n]), ("data",)), P("data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -100,14 +100,19 @@ def predict(cfg) -> Path:
     # 1 ViT forward instead of 1+K (reference re-encodes refs per query,
     # task/core.py:119-161). Exact — pinned by tests/test_token_cache.py.
     cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
+    n_proc = jax.process_count()
     use_cache = (
         cache_mode != "off"
         and not cfg.model.need_attn_weights
         and k_refs > 0
         and not cfg.data.dataset.zero_reference
-        # multi-host: the cached batch stays host-local (sharding=None);
-        # global-batch semantics would need sharded device_put of the tokens
-        and jax.process_count() == 1
+        # multi-host composes (r3): each process predicts its own shard of
+        # the query list on its LOCAL devices (reference DDP-predict
+        # semantics, task/predict.py:119-124 — every rank runs its subset,
+        # filenames are rank-qualified). Only view-parallel still excludes
+        # the cache under multi-host: it needs the global mesh, which
+        # host-local cached batches cannot feed.
+        and not (n_proc > 1 and use_vp)
     )
     # cache x shape-bucketing composes (r3): misses encode bucket-padded
     # pixels with the per-item valid mask; keys carry (bucket, valid) shapes;
@@ -127,6 +132,10 @@ def predict(cfg) -> Path:
         sharding=None if use_cache
         else (replicated(mesh) if use_vp else batch_sharding(mesh)),
     )
+    if use_cache and n_proc > 1:
+        # each process owns a disjoint query shard; wrap-around duplicates
+        # land at the shard tail and are masked by _valid (data/loader.py)
+        loader_kw.update(shard_index=jax.process_index(), num_shards=n_proc)
     if use_buckets:
         from crossscore_tpu.data.bucketing import ShapeBucketedLoader
 
@@ -188,6 +197,18 @@ def predict(cfg) -> Path:
             max_items=max_items,
             persist_dir=cfg.this_main.get("ref_token_cache_dir"),
         )
+        # the cached step runs on a host-LOCAL data mesh: single-host this is
+        # plain DP over the local chips; multi-host it is the per-rank shard
+        # compute that composes the cache with pod deployment (each process
+        # feeds only its own queries; no global array assembly needed)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from crossscore_tpu.parallel import local_batch_sharding
+
+        cache_sharding = local_batch_sharding(cfg.data.loader.validation.batch_size)
+        params_local = jax.device_put(
+            params, NamedSharding(cache_sharding.mesh, PartitionSpec())
+        )
         step_cached = jax.jit(make_predict_step_cached(model))
         # skip the HOST DECODE of cache-hit references too (the loader emits
         # placeholders) when nothing downstream consumes reference pixels and
@@ -228,11 +249,13 @@ def predict(cfg) -> Path:
                      _valid_hw=None):
                 tokens = token_cache.gather(_batch_paths, refs, skipped=_skipped,
                                             valid_hw=_valid_hw)
+                put = lambda x: jax.device_put(x, cache_sharding)
                 if _valid_hw is not None:
                     import jax.numpy as jnp
 
-                    return step_cached(params, query, tokens, jnp.asarray(_valid_hw))
-                return step_cached(params, query, tokens)
+                    return step_cached(params_local, put(query), put(tokens),
+                                       put(jnp.asarray(_valid_hw)))
+                return step_cached(params_local, put(query), put(tokens))
 
     elif not use_vp:
         step = jax.jit(

@@ -77,13 +77,14 @@ def test(cfg) -> Path:
     # test-path crops are deterministic per path (deterministic_crop=True
     # above). See tasks/predict.py for the serving-path analogue.
     cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
+    n_proc = jax.process_count()
     use_cache = (
         cache_mode != "off"
         and int(cfg.data.neighbour_config.cross) > 0
         and not cfg.data.dataset.zero_reference
-        # multi-host: the cached batch stays host-local (sharding=None);
-        # global-batch semantics would need sharded device_put of the tokens
-        and jax.process_count() == 1
+        # multi-host composes (r3): each process evaluates its own index
+        # shard on its LOCAL devices; epoch metrics reduce across processes
+        # via all_process_weighted_mean (sync_dist equivalent) below
     )
     loader_kw = dict(
         batch_size=cfg.data.loader.validation.batch_size,
@@ -94,6 +95,10 @@ def test(cfg) -> Path:
         # reach the device); the jitted step transfers the rest
         sharding=None if use_cache else batch_sharding(mesh),
     )
+    if use_cache and n_proc > 1:
+        # disjoint per-process index shards; wrap-around duplicates are
+        # masked by _valid inside the jitted metrics (data/loader.py)
+        loader_kw.update(shard_index=jax.process_index(), num_shards=n_proc)
     if use_buckets:
         from crossscore_tpu.data.bucketing import ShapeBucketedLoader
 
@@ -128,7 +133,19 @@ def test(cfg) -> Path:
     eval_step = jax.jit(make_eval_step(model))
 
     token_cache = None
+    cache_sharding = None
     if use_cache:
+        # cached eval runs on a host-LOCAL data mesh (plain DP on one host;
+        # the per-rank shard compute under multi-host — see
+        # parallel.local_batch_sharding)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from crossscore_tpu.parallel import local_batch_sharding
+
+        cache_sharding = local_batch_sharding(cfg.data.loader.validation.batch_size)
+        params_local = jax.device_put(
+            params, NamedSharding(cache_sharding.mesh, PartitionSpec())
+        )
         from crossscore_tpu.data.token_cache import RefTokenCache
         from crossscore_tpu.models.crossscore import make_backbone_encoder
 
@@ -211,7 +228,15 @@ def test(cfg) -> Path:
                 valid_hw=batch.get("_valid_hw"),
             )
             del arrays["reference/cross/imgs"]  # pixels stay host-side
-        pred_dev, metrics_dev = eval_step(params, arrays)
+            bs = len(batch["query/img"])
+            arrays = {
+                k: (jax.device_put(v, cache_sharding)
+                    if getattr(v, "ndim", 0) > 0 and len(v) == bs else v)
+                for k, v in arrays.items()
+            }
+            pred_dev, metrics_dev = eval_step(params_local, arrays)
+        else:
+            pred_dev, metrics_dev = eval_step(params, arrays)
         if pending is not None:
             process(*pending)
         pending = (batch_idx, batch, pred_dev, metrics_dev)
@@ -221,13 +246,24 @@ def test(cfg) -> Path:
     # CSVLogger-equivalent epoch metrics; the mean row weights each batch by
     # its valid item count so every item counts exactly once
     if rows:
-        w = np.asarray(row_weights, np.float64)
-        w = w / max(w.sum(), 1.0)
-        agg = {
-            k: float(np.sum(w * np.asarray([r[k] for r in rows])))
-            for k in rows[0]
-            if k != "batch_idx"
-        }
+        if n_proc > 1:
+            # reference `self.log(..., sync_dist=True)`: the mean row covers
+            # every process's shard, weighted by valid item counts
+            from crossscore_tpu.tasks.common import all_process_weighted_mean
+
+            keys = [k for k in rows[0] if k != "batch_idx"]
+            means = all_process_weighted_mean(
+                [[r[k] for r in rows] for k in keys], row_weights
+            )
+            agg = dict(zip(keys, means))
+        else:
+            w = np.asarray(row_weights, np.float64)
+            w = w / max(w.sum(), 1.0)
+            agg = {
+                k: float(np.sum(w * np.asarray([r[k] for r in rows])))
+                for k in rows[0]
+                if k != "batch_idx"
+            }
         with open(out_dir / "metrics.csv", "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
             w.writeheader()
