@@ -158,6 +158,7 @@ class TorchStyleMHA(nn.Module):
         value: jnp.ndarray,
         need_weights: bool = False,
         kv_bias=None,
+        kv_valid: int = 0,
     ):
         b, nq, _ = query.shape
         nk = key.shape[1]
@@ -176,10 +177,14 @@ class TorchStyleMHA(nn.Module):
             and hd_pad is not None
             and h % (128 // hd_pad) == 0
         )
+        if kv_valid > 0 and not use_ln:
+            # pre-padded KV rows are only masked by the layout-native kernels;
+            # any other path would attend over them
+            raise ValueError("kv_valid requires the layout-native pallas path")
         if use_ln:
             from crossscore_tpu.ops.flash_attention import (
                 flash_cross_attention_ln, flash_cross_attention_ln_masked,
-                pick_cross_ln_blocks,
+                pick_cross_ln_blocks, pick_cross_ln_prepad,
             )
 
             # kernel divides by sqrt(hd_pad); fold the true-scale correction
@@ -191,12 +196,19 @@ class TorchStyleMHA(nn.Module):
                               name="k_proj")(key)
             vp = HeadLaneProj(self.d_model, h, hd_pad, dtype=self.dtype,
                               name="v_proj")(value)
-            bq, bk = pick_cross_ln_blocks(nq, nk)
+            if kv_valid > 0:
+                # key/value arrive PRE-padded to a block multiple (decoder
+                # memory padded once for the whole stack); the kernels mask
+                # rows past kv_valid and skip their own pad/slice
+                bq, bk, _ = pick_cross_ln_prepad(nq, kv_valid)
+            else:
+                bq, bk = pick_cross_ln_blocks(nq, nk)
             if kv_bias is not None:
                 o = flash_cross_attention_ln_masked(qp, kp, vp, kv_bias, h,
                                                     hd_pad, bq, bk)
             else:
-                o = flash_cross_attention_ln(qp, kp, vp, h, hd_pad, bq, bk)
+                o = flash_cross_attention_ln(qp, kp, vp, h, hd_pad, bq, bk,
+                                             kv_valid)
             out = HeadLaneOutProj(self.d_model, h, hd, hd_pad,
                                   dtype=self.dtype, name="out_proj")(o)
             return out, None
@@ -258,7 +270,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, memory, need_weights: bool = False,
-                 self_bias=None, cross_bias=None):
+                 self_bias=None, cross_bias=None, memory_valid: int = 0):
         mha_weights = None
 
         # cp:<axis> only applies to the cross-attention (the reference-token
@@ -274,7 +286,8 @@ class DecoderLayer(nn.Module):
 
         mha_out, mha_weights = TorchStyleMHA(
             self.d_model, self.num_heads, self.dtype, self.attention_impl, name="cross_attn"
-        )(x, memory, memory, need_weights=need_weights, kv_bias=cross_bias)
+        )(x, memory, memory, need_weights=need_weights, kv_bias=cross_bias,
+          kv_valid=memory_valid)
         x = x + mha_out if self.do_short_cut else mha_out
         x = LayerNorm(self.layer_norm_eps, name="norm2")(x)
 
@@ -309,6 +322,30 @@ class CrossReferenceDecoder(nn.Module):
     ):
         x = tgt
         mha_weights: Optional[jnp.ndarray] = None
+
+        # Pre-pad the (shared) memory ONCE to a cross-kernel block multiple:
+        # each layer's k/v projections then emit already-block-shaped tensors
+        # and the fwd/bwd kernels mask rows past memory_valid instead of
+        # padding per projection (was 8 HBM pad/slice passes per train step
+        # at the production shape 6845 -> 7168; PERFORMANCE.md r3 table).
+        memory_valid = 0
+        hd = self.d_model // self.num_heads
+        hd_pad = next((p for p in (64, 128) if hd <= p), None)
+        if (
+            self.attention_impl == "pallas"
+            and not need_weights
+            and cross_bias is None
+            and hd_pad is not None
+            and self.num_heads % (128 // hd_pad) == 0
+        ):
+            from crossscore_tpu.ops.flash_attention import pick_cross_ln_prepad
+
+            nk = memory.shape[1]
+            _, _, nk_p = pick_cross_ln_prepad(tgt.shape[1], nk)
+            if nk_p != nk:
+                memory = jnp.pad(memory, ((0, 0), (0, nk_p - nk), (0, 0)))
+                memory_valid = nk
+
         for i in range(self.num_layers):
             x, w = DecoderLayer(
                 self.d_model,
@@ -320,7 +357,8 @@ class CrossReferenceDecoder(nn.Module):
                 self.attention_impl,
                 name=f"layer_{i}",
             )(x, memory, need_weights=need_weights,
-              self_bias=self_bias, cross_bias=cross_bias)
+              self_bias=self_bias, cross_bias=cross_bias,
+              memory_valid=memory_valid)
             if w is not None:
                 mha_weights = w[:, need_weights_head_id]  # (B, Nq, Nk), last layer wins
         return x, mha_weights

@@ -851,16 +851,25 @@ def _fwd_kernel_cross_ln(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             m_ref[0, j] = (m_scr[j][:, :1] * (1.0 / LOG2E)).astype(m_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_q",
+                                             "block_k", "kv_valid"))
 def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
-                        block_q: int = 0, block_k: int = 1024, kv_bias=None):
+                        block_q: int = 0, block_k: int = 1024, kv_bias=None,
+                        kv_valid: int = 0):
     """qp: (B, Nq, H*hd); kp/vp: (B, Nk, H*hd) token-major, head dim PADDED so
     ``hpack = 128 // hd`` heads fill a lane block (hd must divide 128).
     Returns (o (B, Nq, H*hd), l, m (B, H, Nq)). The softmax scale is
     1/sqrt(hd) of the PADDED dim; callers with a smaller true head dim fold
-    the correction into the q projection (exactly — see HeadLaneProj)."""
+    the correction into the q projection (exactly — see HeadLaneProj).
+
+    ``kv_valid`` (0 = all of Nk): true KV count when the caller PRE-padded
+    kp/vp along tokens to a block multiple — the pad columns are masked by
+    the softmax bias exactly like the internal pad. Pre-padding the decoder
+    MEMORY once (before the k/v projections) replaces eight per-projection
+    HBM pads per train step with one (trace attribution, PERFORMANCE.md)."""
     b, nq, dtot = qp.shape
     nk = kp.shape[1]
+    valid = kv_valid if kv_valid > 0 else nk
     h = num_heads
     hpack = LANES // hd
     if hd * hpack != LANES or h % hpack:
@@ -874,7 +883,7 @@ def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
         pad = nk_p - nk
         kp = jnp.pad(kp, ((0, 0), (0, pad), (0, 0)))
         vp = jnp.pad(vp, ((0, 0), (0, pad), (0, 0)))
-    bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF)
+    bias = jnp.where(jnp.arange(nk_p) < valid, 0.0, NEG_INF)
     per_item = kv_bias is not None and kv_bias.ndim == 2
     if per_item:  # (B, Nk) per-item; full batch rows per block (Mosaic tiling)
         bias = bias[None] + jnp.pad(
@@ -994,14 +1003,18 @@ def _bwd_kernel_cross_ln(bias_ref, qp_ref, dop_ref, kp_ref, vp_ref, lb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_k",
-                                             "qc_budget"))
+                                             "qc_budget", "kv_valid"))
 def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
-                         block_k: int = 1024, qc_budget: int = 300_000):
+                         block_k: int = 1024, qc_budget: int = 300_000,
+                         kv_valid: int = 0):
     """Token-major packed backward. qp/kp/vp/o/do: (B, N, H*hd) with hd the
     PADDED head dim; l, m: (B, H, Nq) in the forward's head order
-    (h = lane_block * hpack + sub). Returns token-major (dq, dk, dv)."""
+    (h = lane_block * hpack + sub). Returns token-major (dq, dk, dv).
+    ``kv_valid`` > 0: kp/vp token rows past it are pre-pad — masked by the
+    softmax bias so p == 0 and dk/dv are exactly 0 there."""
     b, nq, dtot = qp.shape
     nk = kp.shape[1]
+    valid = kv_valid if kv_valid > 0 else nk
     h = num_heads
     hpack = LANES // hd
     nlb = dtot // LANES
@@ -1030,7 +1043,7 @@ def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
         b, nq, h, hd
     ).sum(-1).transpose(0, 2, 1)  # (B, H, Nq)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, nq_p - nq)))[..., None]
-    bias = jnp.where(jnp.arange(nk_p) < nk, 0.0, NEG_INF).astype(jnp.float32)
+    bias = jnp.where(jnp.arange(nk_p) < valid, 0.0, NEG_INF).astype(jnp.float32)
     bias = bias.reshape(1, nk_p)
 
     kernel = functools.partial(
@@ -1074,6 +1087,30 @@ def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
     return dq[:, :nq], dk[:, :nk], dv[:, :nk]
 
 
+PREPAD_BLOCK_K = 896  # lane-aligned KV block usable by BOTH the fwd grid and
+# the bwd grid within its scoped-VMEM budget (live q-chunk tile 464x896 =
+# 416k elems < the validated 420k budget) — the decoder pre-pads its memory
+# to a multiple of this so neither direction pads or slices KV in-step.
+
+
+def pick_cross_ln_prepad(nq: int, nk: int) -> tuple[int, int, int]:
+    """(block_q, block_k, nk_padded) for a caller that PRE-pads KV tokens
+    once (decoder memory) instead of letting fwd/bwd each pad per projection.
+    block_k divides nk_padded, so the forward takes the no-pad path; the true
+    token count goes in as ``kv_valid``. Prefers the fwd-optimal bk=1024 when
+    it pads no more than 896 would (at the production train shape 6845 both
+    give 7168, so the fwd runs 1024 and the bwd independently picks its
+    no-pad 896); the bwd falls back to padded bk=768 when 896 doesn't divide."""
+    if nk <= 2048:
+        bk = _ceil_to(nk, 128)
+    else:
+        bk = 1024 if _ceil_to(nk, 1024) <= _ceil_to(nk, PREPAD_BLOCK_K) \
+            else PREPAD_BLOCK_K
+    max_bq = max(128, 1_050_000 // bk // 8 * 8)
+    n_splits = max(1, -(-nq // max_bq))
+    return _ceil_to(-(-nq // n_splits), 8), bk, _ceil_to(nk, bk)
+
+
 def pick_cross_ln_blocks(nq: int, nk: int) -> tuple[int, int]:
     """(block_q, block_k) for the layout-native cross kernel, sized to the
     16M scoped-VMEM limit: the unrolled head pair keeps TWO live
@@ -1088,9 +1125,10 @@ def pick_cross_ln_blocks(nq: int, nk: int) -> tuple[int, int]:
     return _ceil_to(-(-nq // n_splits), 8), bk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_cross_attention_ln(qp, kp, vp, num_heads: int, hd: int,
-                             block_q: int = 0, block_k: int = 1024):
+                             block_q: int = 0, block_k: int = 1024,
+                             kv_valid: int = 0):
     """Layout-native cross-attention on token-major packed projections.
 
     qp/kp/vp: (B, N, H*hd) with hd the PADDED head dim (128 % hd == 0; pad
@@ -1098,9 +1136,14 @@ def flash_cross_attention_ln(qp, kp, vp, num_heads: int, hd: int,
     callers with a smaller true head dim fold the correction into the q
     projection (``HeadLaneProj.prescale``). Backward is the layout-native
     token-major kernel (``_bwd_cross_ln_pallas``) — no head-major relayout
-    anywhere in training (r2 paid ~15 ms/step of pad/slice/copy for it)."""
+    anywhere in training (r2 paid ~15 ms/step of pad/slice/copy for it).
+
+    ``kv_valid`` > 0: kp/vp arrive PRE-padded along tokens to a block_k
+    multiple with only the first ``kv_valid`` rows real — fwd AND bwd mask
+    the pad columns (p == 0 there, so dk/dv pad rows are exactly 0)."""
     o, _, _ = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd,
-                                  block_q=block_q, block_k=block_k)
+                                  block_q=block_q, block_k=block_k,
+                                  kv_valid=kv_valid)
     return o
 
 
@@ -1109,20 +1152,27 @@ def _split_packed(x, h, hd):
     return x.reshape(b, n, h, hd).transpose(0, 2, 1, 3)  # (B, H, N, hd)
 
 
-def _fcaln_fwd(qp, kp, vp, num_heads, hd, block_q, block_k):
+def _fcaln_fwd(qp, kp, vp, num_heads, hd, block_q, block_k, kv_valid):
     o, l, m = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd,
-                                  block_q=block_q, block_k=block_k)
+                                  block_q=block_q, block_k=block_k,
+                                  kv_valid=kv_valid)
     return o, (qp, kp, vp, o, l, m)
 
 
-def _fcaln_bwd(num_heads, hd, block_q, block_k, residuals, do):
+def _fcaln_bwd(num_heads, hd, block_q, block_k, kv_valid, residuals, do):
     qp, kp, vp, o, l, m = residuals
     # bk=768/420k: best of the r3 block sweep (tools/bwd_microbench.py —
     # 18.09 ms/layer vs 18.56 at bk=512/300k; bk=1024 needs q chunks too small
     # to win, and raising scoped VMEM to 32M unlocked nothing: the kernel is
     # hd=64 MXU-bound, not VMEM-starved)
+    bk = min(block_k, 768)
+    if kv_valid > 0 and kp.shape[1] % PREPAD_BLOCK_K == 0:
+        # pre-padded KV (pick_cross_ln_prepad): bk=896 divides the token count,
+        # so the backward needs no kf/vf pad and no dk/dv slice either
+        bk = PREPAD_BLOCK_K
     return _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads, hd,
-                                block_k=min(block_k, 768), qc_budget=420_000)
+                                block_k=bk, qc_budget=420_000,
+                                kv_valid=kv_valid)
 
 
 flash_cross_attention_ln.defvjp(_fcaln_fwd, _fcaln_bwd)

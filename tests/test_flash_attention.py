@@ -215,6 +215,71 @@ class TestLayoutNativeCross:
         for a, b_ in zip(g_ln, g_d):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
+    def test_prepad_kv_valid_matches_unpadded(self, rng):
+        """Pre-padded KV tokens + kv_valid (decoder-memory pre-pad path)
+        reproduce the unpadded kernel exactly: same fwd output, same dq and
+        real-row dk/dv grads, exactly-zero grads on the pad rows."""
+        from crossscore_tpu.ops.flash_attention import (
+            flash_cross_attention_ln, pick_cross_ln_prepad,
+        )
+
+        h, hd, nq, nk = 2, 64, 24, 150
+        _, (qp, kp, vp) = self._packed(rng, 1, h, nq, nk, hd)
+        bq, bk, nk_p = pick_cross_ln_prepad(nq, nk)
+        assert nk_p % bk == 0 and nk_p >= nk
+        kp_p = jnp.pad(kp, ((0, 0), (0, nk_p - nk), (0, 0)))
+        vp_p = jnp.pad(vp, ((0, 0), (0, nk_p - nk), (0, 0)))
+
+        def loss(fn_args):
+            q_, k_, v_, valid = fn_args
+            o = flash_cross_attention_ln(q_, k_, v_, h, hd, bq, bk, valid)
+            return jnp.sum(jnp.square(o) * jnp.cos(o)), o
+
+        (g_q, g_k, g_v), o_ref = (
+            jax.grad(lambda a: loss((a[0], a[1], a[2], 0))[0],
+                     argnums=0)((qp, kp, vp)),
+            loss((qp, kp, vp, 0))[1],
+        )
+        (gp_q, gp_k, gp_v), o_pre = (
+            jax.grad(lambda a: loss((a[0], a[1], a[2], nk))[0],
+                     argnums=0)((qp, kp_p, vp_p)),
+            loss((qp, kp_p, vp_p, nk))[1],
+        )
+        np.testing.assert_allclose(np.asarray(o_pre), np.asarray(o_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp_q), np.asarray(g_q), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp_k[:, :nk]), np.asarray(g_k), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp_v[:, :nk]), np.asarray(g_v), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(gp_k[:, nk:]), 0)
+        np.testing.assert_array_equal(np.asarray(gp_v[:, nk:]), 0)
+
+    def test_decoder_prepad_memory_matches_xla(self, rng):
+        """CrossReferenceDecoder(pallas) pre-pads memory once for the stack
+        (decoder.py memory_valid path); outputs and param grads must match
+        the xla impl at a non-block-multiple KV count."""
+        from crossscore_tpu.models.decoder import CrossReferenceDecoder
+
+        tgt = jnp.asarray(rng.standard_normal((2, 30, 128)).astype(np.float32))
+        mem = jnp.asarray(rng.standard_normal((2, 333, 128)).astype(np.float32))
+        dec_x = CrossReferenceDecoder(128, 2, 2, attention_impl="xla")
+        dec_p = CrossReferenceDecoder(128, 2, 2, attention_impl="pallas")
+        params = dec_x.init(jax.random.PRNGKey(0), tgt, mem)["params"]
+        out_x, _ = dec_x.apply({"params": params}, tgt, mem)
+        out_p, _ = dec_p.apply({"params": params}, tgt, mem)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=5e-5)
+
+        def loss(dec, p):
+            o, _ = dec.apply({"params": p}, tgt, mem)
+            return jnp.sum(jnp.square(o))
+
+        g_x = jax.grad(lambda p: loss(dec_x, p))(params)
+        g_p = jax.grad(lambda p: loss(dec_p, p))(params)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3
+            ),
+            g_x, g_p,
+        )
+
     def test_mha_module_parity_and_param_tree(self, rng):
         """TorchStyleMHA(pallas) routes through the layout-native path with
         the SAME param tree as the xla path, same outputs, same grads."""
