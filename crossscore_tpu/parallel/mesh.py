@@ -97,6 +97,19 @@ def local_batch_sharding(batch_size: int) -> NamedSharding:
     return NamedSharding(Mesh(np.asarray(devs[:n]), ("data",)), P("data"))
 
 
+def local_view_mesh() -> Mesh:
+    """Host-LOCAL 1-D mesh over all local devices, axis ``view``.
+
+    The cache x view-parallel x multi-host serving composition: each process
+    predicts its own query shard with the K reference views sharded over its
+    OWN chips — the context-parallel softmax combine (``cp:view``) rides
+    intra-host ICI only, and cached token batches stay host-local (a global
+    mesh would need every process to co-assemble each array). Data
+    parallelism across hosts comes from the per-process index shard
+    (reference DDP-predict semantics, ``task/predict.py:119-124``)."""
+    return Mesh(np.asarray(jax.local_devices()), ("view",))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

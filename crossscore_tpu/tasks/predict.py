@@ -24,6 +24,65 @@ import numpy as np
 from crossscore_tpu.tasks.common import parse_cli, resolve_out_dir, load_model_params
 
 
+from typing import NamedTuple
+
+
+class ServingPlan(NamedTuple):
+    """Resolved multi-device serving strategy (pure function of config +
+    topology — unit-tested in tests/test_task_utils.py)."""
+
+    use_vp: bool      # K reference views sharded over a mesh
+    vp_local: bool    # ... over the process's LOCAL chips (multi-host + cache)
+    use_cache: bool   # reference-token cache on
+
+
+def plan_serving_modes(
+    *,
+    vp_mode: str,
+    cache_mode: str,
+    use_buckets: bool,
+    need_attn_weights: bool,
+    zero_reference: bool,
+    k_refs: int,
+    n_dev: int,
+    n_local: int,
+    n_proc: int,
+    data_mesh_size: int,
+) -> ServingPlan:
+    """Pick the serving composition from config knobs and device topology.
+
+    Every pair/triple of {token cache, view-parallel, shape-bucketing,
+    multi-host} composes except bucketing x vp (vp shards the view axis,
+    buckets change the token count per item). Under multi-host WITH the
+    cache, view-parallel runs on a host-LOCAL ``view`` mesh — the
+    context-parallel psum rides intra-host ICI, data parallelism across
+    hosts is the per-process query shard, and cached token batches never
+    need global-mesh assembly. Uncached multi-host vp keeps the global mesh
+    (replicated batches feed it fine)."""
+    cache_ok = (
+        cache_mode != "off"
+        and not need_attn_weights
+        and k_refs > 0
+        and not zero_reference
+    )
+
+    def vp_fits(n: int) -> bool:
+        return (
+            not use_buckets
+            and vp_mode != "off"
+            and not need_attn_weights
+            and n > 1
+            and k_refs > 0
+            and k_refs % n == 0
+            and (vp_mode == "on" or data_mesh_size < n)
+        )
+
+    vp_local = n_proc > 1 and cache_ok and vp_fits(n_local)
+    use_vp = vp_local or vp_fits(n_dev)
+    use_cache = cache_ok and not (n_proc > 1 and use_vp and not vp_local)
+    return ServingPlan(use_vp, vp_local, use_cache)
+
+
 def predict(cfg) -> Path:
     import jax
 
@@ -82,38 +141,36 @@ def predict(cfg) -> Path:
             use_buckets = False  # single static shape: no padding overhead
 
     n_dev = len(jax.devices())
+    n_local = len(jax.local_devices())
     k_refs = int(cfg.data.neighbour_config.cross)
     vp_mode = tristate(cfg.model.tpu.get("view_parallel", "auto"))
     data_mesh = make_mesh(batch_size=cfg.data.loader.validation.batch_size)
-    use_vp = (
-        not use_buckets
-        and vp_mode != "off"
-        and not cfg.model.need_attn_weights
-        and n_dev > 1
-        and k_refs % n_dev == 0
-        and (vp_mode == "on" or len(data_mesh.devices.reshape(-1)) < n_dev)
-    )
-    mesh = make_mesh() if use_vp else data_mesh
-
+    cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
+    n_proc = jax.process_count()
     # cached-reference serving (this_main.ref_token_cache: auto|on|off): the
     # frozen backbone encodes each reference image ONCE per run; queries cost
     # 1 ViT forward instead of 1+K (reference re-encodes refs per query,
     # task/core.py:119-161). Exact — pinned by tests/test_token_cache.py.
-    cache_mode = tristate(cfg.this_main.get("ref_token_cache", "auto"))
-    n_proc = jax.process_count()
-    use_cache = (
-        cache_mode != "off"
-        and not cfg.model.need_attn_weights
-        and k_refs > 0
-        and not cfg.data.dataset.zero_reference
-        # multi-host composes (r3): each process predicts its own shard of
-        # the query list on its LOCAL devices (reference DDP-predict
-        # semantics, task/predict.py:119-124 — every rank runs its subset,
-        # filenames are rank-qualified). Only view-parallel still excludes
-        # the cache under multi-host: it needs the global mesh, which
-        # host-local cached batches cannot feed.
-        and not (n_proc > 1 and use_vp)
+    use_vp, vp_local, use_cache = plan_serving_modes(
+        vp_mode=vp_mode,
+        cache_mode=cache_mode,
+        use_buckets=use_buckets,
+        need_attn_weights=cfg.model.need_attn_weights,
+        zero_reference=cfg.data.dataset.zero_reference,
+        k_refs=k_refs,
+        n_dev=n_dev,
+        n_local=n_local,
+        n_proc=n_proc,
+        data_mesh_size=len(data_mesh.devices.reshape(-1)),
     )
+    if vp_local:
+        from crossscore_tpu.parallel import local_view_mesh
+
+        mesh = local_view_mesh()
+    elif use_vp:
+        mesh = make_mesh()
+    else:
+        mesh = data_mesh
     # cache x shape-bucketing composes (r3): misses encode bucket-padded
     # pixels with the per-item valid mask; keys carry (bucket, valid) shapes;
     # the cached decoder step masks exactly like the uncached bucketed path.
@@ -121,7 +178,9 @@ def predict(cfg) -> Path:
     # axis (make_view_parallel_apply_tokens) — the exact context-parallel
     # softmax combine is token-source-agnostic.
     if use_vp:
-        print(f"view-parallel predict: K={k_refs} refs sharded over {n_dev} devices")
+        n_vp = n_local if vp_local else n_dev
+        print(f"view-parallel predict: K={k_refs} refs sharded over {n_vp} "
+              f"devices{' (host-local mesh)' if vp_local else ''}")
     loader_kw = dict(
         batch_size=cfg.data.loader.validation.batch_size,
         num_workers=cfg.data.loader.validation.num_workers,

@@ -103,3 +103,65 @@ class TestResolveLimit:
     def test_bool_rejected(self):
         with pytest.raises(ValueError):
             resolve_limit(True, 10)
+
+
+class TestServingPlan:
+    """plan_serving_modes: the pure serving-composition decision
+    (tasks/predict.py) across device topologies."""
+
+    def _plan(self, **kw):
+        from crossscore_tpu.tasks.predict import plan_serving_modes
+
+        base = dict(
+            vp_mode="auto", cache_mode="auto", use_buckets=False,
+            need_attn_weights=False, zero_reference=False, k_refs=8,
+            n_dev=8, n_local=8, n_proc=1, data_mesh_size=8,
+        )
+        base.update(kw)
+        return plan_serving_modes(**base)
+
+    def test_single_host_defaults_cache_no_vp(self):
+        # big batch fills the data mesh: plain DP + cache
+        p = self._plan()
+        assert p == (False, False, True)
+
+    def test_single_host_small_batch_auto_vp(self):
+        # B=1 can't fill 8 devices -> auto view-parallel, cache composes
+        p = self._plan(data_mesh_size=1)
+        assert p.use_vp and not p.vp_local and p.use_cache
+
+    def test_multi_host_cached_vp_goes_local(self):
+        # 2 hosts x 4 chips, K=8 % 4 == 0: vp on the host-local view mesh,
+        # cache stays on — the closed exclusion
+        p = self._plan(n_proc=2, n_dev=8, n_local=4, data_mesh_size=1)
+        assert p == (True, True, True)
+
+    def test_multi_host_vp_without_cache_uses_global_mesh(self):
+        p = self._plan(cache_mode="off", n_proc=2, n_dev=8, n_local=4,
+                       data_mesh_size=1)
+        assert p == (True, False, False)
+
+    def test_one_chip_per_host_falls_back_to_global_vp(self):
+        # 8 hosts x 1 chip: no local view axis exists, explicit vp runs on
+        # the global mesh and the cache is dropped (global-mesh arrays can't
+        # be fed host-locally). For uniform hosts with >1 chip this case
+        # cannot arise: n_local | n_dev | K implies the local mesh fits.
+        p = self._plan(vp_mode="on", n_proc=8, n_dev=8, n_local=1,
+                       data_mesh_size=1)
+        assert p == (True, False, False)
+
+    def test_multi_host_cache_without_vp(self):
+        p = self._plan(n_proc=2, n_dev=8, n_local=4, data_mesh_size=8)
+        assert p == (False, False, True)
+
+    def test_buckets_exclude_vp_not_cache(self):
+        p = self._plan(use_buckets=True, data_mesh_size=1)
+        assert p == (False, False, True)
+
+    def test_attn_weights_disable_both(self):
+        p = self._plan(need_attn_weights=True, data_mesh_size=1)
+        assert p == (False, False, False)
+
+    def test_zero_reference_disables_cache(self):
+        p = self._plan(zero_reference=True)
+        assert not p.use_cache
