@@ -1,0 +1,291 @@
+"""Persistent scoring service: compile-once, reference-warm serving daemon.
+
+The reference has no serving story beyond batch ``task/predict.py`` — every
+invocation pays process start, checkpoint load, a cold compile, and 1+K
+backbone forwards per query (reference ``task/core.py:119-161``). This daemon
+is the TPU-native production path: the model compiles ONCE, the reference
+views are encoded through the frozen backbone ONCE at startup (the
+cached-reference serving path, ``data/token_cache.py`` — restart-warm when
+``this_main.ref_token_cache_dir`` is set), and a warm request then costs one
+query ViT forward + the decoder (~409 maps/s/chip at 518 px, PERFORMANCE.md).
+
+HTTP API (stdlib ``http.server``; zero extra dependencies):
+
+  GET  /healthz     -> JSON: status, reference count, token shape, compiled
+                       query shapes, request count
+  POST /score       -> body = PNG/JPEG image bytes. Default response is JSON
+                       ``{"mean_score", "height", "width"}`` (the per-frame
+                       mean the summariser CSVs report). ``?map=npy`` returns
+                       the full float32 score map as ``.npy`` bytes;
+                       ``?map=png`` as a uint16 gray PNG (``metric_map_write``
+                       encoding, reference ``utils/io/images.py:32-63``).
+  POST /score_path  -> JSON ``{"path": "..."}`` or ``{"paths": [...]}`` for
+                       server-local files; returns JSON results in order.
+
+Exactness contract: queries and references are trimmed to patch multiples
+(%14) after the short-side resize. The patch-embed conv strides ignore the
+sub-patch remainder, so trimmed inputs produce the SAME tokens and score maps
+as ``tasks.predict``'s untrimmed ones (pinned by tests/test_serve.py).
+
+Shapes: one compiled graph per distinct (resized, trimmed) query shape —
+fixed-resolution cameras compile once; a new aspect ratio pays one compile
+(logged). References must share one shape after preprocessing (one token
+batch); the daemon refuses mixed-shape reference dirs with a clear error.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from crossscore_tpu.tasks.common import parse_cli
+
+
+class Scorer:
+    """Params + reference tokens + the jitted cached predict step.
+
+    Thread-safe: device dispatch is serialised behind a lock (one chip, one
+    stream); preprocessing runs outside it.
+    """
+
+    def __init__(self, cfg):
+        import jax
+
+        from crossscore_tpu.tasks.common import apply_accelerator, load_model_params
+        from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+        apply_accelerator(cfg)
+        enable_compile_cache()
+
+        from crossscore_tpu.data.token_cache import RefTokenCache
+        from crossscore_tpu.io.images import image_read, image_read_bytes
+        from crossscore_tpu.models import CrossScoreConfig, CrossScoreNet
+        from crossscore_tpu.models.crossscore import make_backbone_encoder
+        from crossscore_tpu.train.step import make_predict_step_cached
+
+        self._image_read = image_read
+        self._image_read_bytes = image_read_bytes
+        self.cfg = cfg
+        self.resize_short = int(cfg.this_main.resize_short_side)
+        self.metric_vrange = [cfg.model.predict.metric.min, cfg.model.predict.metric.max]
+
+        ref_dir = cfg.data.dataset.reference_dir
+        if not ref_dir:
+            raise ValueError("serve requires data.dataset.reference_dir")
+        ref_dir = Path(ref_dir).expanduser()
+        ref_paths = sorted(str(p) for p in ref_dir.iterdir() if p.is_file())
+        max_refs = int(cfg.this_main.get("serve_max_refs", 0))
+        if max_refs > 0:
+            ref_paths = ref_paths[:max_refs]
+        if not ref_paths:
+            raise ValueError(f"no reference images in {ref_dir}")
+
+        refs = [self._preprocess(image_read(p)) for p in ref_paths]
+        shapes = {r.shape for r in refs}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"reference images must share one post-resize shape for a "
+                f"single token batch; got {sorted(shapes)} — split the dir "
+                f"per camera or set this_main.resize_short_side"
+            )
+        ref_imgs = np.stack(refs)[None]  # (1, K, H, W, 3)
+        self.n_refs = len(ref_paths)
+
+        mcfg = CrossScoreConfig.from_config(cfg)
+        self.model = CrossScoreNet(mcfg)
+        example = {
+            "query/img": ref_imgs[0, :1],
+            "reference/cross/imgs": ref_imgs,
+        }
+        self.params = load_model_params(cfg, self.model, example)
+
+        encode = jax.jit(make_backbone_encoder(mcfg))
+        cache = RefTokenCache(
+            lambda imgs, valid_hw=None: encode(self.params, imgs),
+            encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
+            max_items=max(self.n_refs, int(cfg.this_main.get("ref_token_cache_max_items", 2048))),
+            persist_dir=cfg.this_main.get("ref_token_cache_dir"),
+        )
+        tokens = cache.gather([[p] for p in ref_paths], ref_imgs)
+        self.tokens = jax.device_put(tokens)  # (1, K, N_patch, D)
+        self.token_shape = tuple(int(s) for s in tokens.shape[1:])
+        self.disk_hits = cache.disk_hits
+
+        self._step = jax.jit(make_predict_step_cached(self.model))
+        self._lock = threading.Lock()
+        self.compiled_shapes: list[tuple[int, int]] = []
+        self.n_requests = 0
+        # warm-up at the reference shape (the common camera-matches-renders
+        # case compiles at startup, not on the first request)
+        self._score_preprocessed(refs[0])
+
+    # ------------------------------------------------------------ scoring
+
+    def _preprocess(self, img: np.ndarray) -> np.ndarray:
+        """float32 [0,1] (H, W, 3) -> resized, %14-trimmed, ImageNet-normalised.
+
+        Same rounding as the predict pipeline (``data/nvs_index.py::_resize``);
+        the trim is output-exact (see module docstring)."""
+        from crossscore_tpu.io.images import normalize_imagenet
+        from crossscore_tpu.ops.interpolate import resize_bilinear_antialias
+
+        s = self.resize_short
+        h, w = img.shape[:2]
+        if s > 0 and min(h, w) != s:
+            if h <= w:
+                h, w = s, max(1, round(w * s / h))
+            else:
+                h, w = max(1, round(h * s / w)), s
+            img = resize_bilinear_antialias(img, h, w)
+        img = img[: h - h % 14, : w - w % 14]
+        return normalize_imagenet(img).astype(np.float32)
+
+    def _score_preprocessed(self, q: np.ndarray) -> np.ndarray:
+        shape = q.shape[:2]
+        with self._lock:
+            if shape not in self.compiled_shapes:
+                print(f"serve: compiling query shape {shape} "
+                      f"({len(self.compiled_shapes)} cached)", flush=True)
+                self.compiled_shapes.append(shape)
+            out = self._step(self.params, q[None], self.tokens)
+            score_map = np.asarray(out["score_map_ref_cross"][0], np.float32)
+        self.n_requests += 1
+        return score_map
+
+    def score(self, img: np.ndarray) -> dict:
+        """float32 [0,1] (H, W, 3) image -> score map + per-frame mean."""
+        t0 = time.perf_counter()
+        score_map = self._score_preprocessed(self._preprocess(img))
+        return {
+            "mean_score": float(score_map.mean()),
+            "height": int(score_map.shape[0]),
+            "width": int(score_map.shape[1]),
+            "time_ms": round(1e3 * (time.perf_counter() - t0), 2),
+            "score_map": score_map,
+        }
+
+    def score_bytes(self, data: bytes) -> dict:
+        return self.score(self._image_read_bytes(data))
+
+    def score_path(self, path: str) -> dict:
+        return self.score(self._image_read(path))
+
+    def health(self) -> dict:
+        import jax
+
+        return {
+            "status": "ok",
+            "refs": self.n_refs,
+            "token_shape": list(self.token_shape),
+            "compiled_shapes": [list(s) for s in self.compiled_shapes],
+            "requests": self.n_requests,
+            "restart_warm_disk_hits": self.disk_hits,
+            "backend": jax.default_backend(),
+        }
+
+
+def _json_result(res: dict) -> dict:
+    return {k: v for k, v in res.items() if k != "score_map"}
+
+
+def make_server(cfg):
+    """Build (ThreadingHTTPServer, Scorer); the caller runs serve_forever."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    scorer = Scorer(cfg)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # stdout, one line, no reverse DNS
+            print(f"serve: {self.address_string()} {fmt % args}", flush=True)
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._send_json(200, scorer.health())
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+
+        def _respond_scored(self, res: dict, map_mode: str) -> None:
+            if map_mode == "npy":
+                import io as _io
+
+                buf = _io.BytesIO()
+                np.save(buf, res["score_map"])
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            elif map_mode == "png":
+                import io as _io
+
+                from crossscore_tpu.io.images import metric_map_write
+
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                    metric_map_write(f.name, res["score_map"], scorer.metric_vrange)
+                    self._send(200, Path(f.name).read_bytes(), "image/png")
+            else:
+                self._send_json(200, _json_result(res))
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            map_mode = q.get("map", ["none"])[0]
+            try:
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                if url.path == "/score":
+                    self._respond_scored(scorer.score_bytes(body), map_mode)
+                elif url.path == "/score_path":
+                    req = json.loads(body)
+                    paths = req.get("paths", [req["path"]] if "path" in req else [])
+                    if not paths:
+                        raise ValueError("score_path needs 'path' or 'paths'")
+                    self._send_json(
+                        200,
+                        [dict(_json_result(scorer.score_path(p)), path=p) for p in paths],
+                    )
+                else:
+                    self._send_json(404, {"error": f"unknown path {url.path}"})
+            except Exception as e:  # surface the cause to the client
+                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    host = str(cfg.this_main.get("serve_host", "127.0.0.1"))
+    port = int(cfg.this_main.get("serve_port", 8642))
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, scorer
+
+
+def serve(cfg) -> None:
+    server, scorer = make_server(cfg)
+    host, port = server.server_address[:2]
+    print(
+        f"serve: ready on http://{host}:{port} — {scorer.n_refs} references "
+        f"warm, token shape {scorer.token_shape}, backend "
+        f"{scorer.health()['backend']}",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+def main(argv=None):
+    cfg = parse_cli("default_predict", argv)
+    serve(cfg)
+
+
+if __name__ == "__main__":
+    main()

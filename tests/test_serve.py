@@ -1,0 +1,202 @@
+"""tasks/serve.py — the persistent scoring daemon.
+
+Pins (a) the exactness contract vs tasks.predict (resized + %14-trimmed
+inputs produce the same score maps the batch predict path writes), and
+(b) the HTTP surface end-to-end on an ephemeral port.
+"""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from crossscore_tpu.data.synthetic import generate
+
+OVERRIDES = [
+    "trainer.accelerator=cpu",
+    "model.tpu.compute_dtype=float32",
+    "model.backbone.preset=dinov2-test",
+    # deterministic first-K sampling so predict uses the same (sorted) first
+    # two references the daemon warms
+    "data.neighbour_config.cross=2",
+    "data.neighbour_config.deterministic=true",
+    "this_main.resize_short_side=84",
+    "this_main.serve_max_refs=2",
+    "this_main.serve_port=0",
+]
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_ws")
+    generate(root / "datadir", hw=(84, 112), scenes_per_split={"train": 1, "val": 1, "test": 1})
+    old = os.getcwd()
+    os.chdir(root)
+    yield root
+    os.chdir(old)
+
+
+def _dirs(ws):
+    scene = sorted((ws / "datadir" / "res_540").iterdir())[0].name
+    q = f"datadir/res_540/{scene}/test/ours_1000/renders"
+    r = f"datadir/res_540/{scene}/train/ours_1000/gt"
+    return q, r
+
+
+@pytest.fixture(scope="module")
+def server(ws):
+    from crossscore_tpu.tasks.common import parse_cli
+    from crossscore_tpu.tasks.serve import make_server
+
+    _, ref_dir = _dirs(ws)
+    cfg = parse_cli(
+        "default_predict", OVERRIDES + [f"data.dataset.reference_dir={ref_dir}"]
+    )
+    srv, scorer = make_server(cfg)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, scorer
+    srv.shutdown()
+
+
+def _url(srv, path):
+    host, port = srv.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+class TestScorer:
+    def test_matches_predict_task(self, ws, server):
+        """The daemon's per-frame mean equals what tasks.predict's summariser
+        CSV reports for the same query/reference dirs (the batch path and the
+        serving path are the same model + preprocessing)."""
+        import pandas as pd
+
+        from crossscore_tpu.tasks.predict import main
+
+        _, scorer = server
+        q_dir, ref_dir = _dirs(ws)
+        out_dir = main(
+            OVERRIDES
+            + [
+                f"data.dataset.query_dir={q_dir}",
+                f"data.dataset.reference_dir={ref_dir}",
+                "data.loader.validation.batch_size=1",
+                "data.loader.validation.num_workers=0",
+                "logger.predict.write.config.vis_img_every_n_steps=-1",
+                "logger.predict.write.flag.batch=false",
+                "alias=serve_parity",
+            ]
+        )
+        csv = list((out_dir / "score_summary").rglob("*.csv"))[0]
+        df = pd.read_csv(csv)
+
+        frames = sorted(os.listdir(q_dir))
+        assert len(df) == len(frames)
+        # the summariser strips the "frame_" prefix from image_name; both the
+        # CSV (shuffle=False loader) and the listing are in sorted order
+        df = df.sort_values("image_name")
+        for fname, name, want in zip(frames, df["image_name"], df["pred_ssim_0_1"]):
+            assert fname.endswith(name)
+            res = scorer.score_path(os.path.join(q_dir, fname))
+            # the CSV rounds to 4 decimals (float_format="%.4f", summariser)
+            assert res["mean_score"] == pytest.approx(float(want), abs=5.1e-5)
+
+    def test_score_map_shape_and_range(self, ws, server):
+        _, scorer = server
+        q_dir, _ = _dirs(ws)
+        res = scorer.score_path(os.path.join(q_dir, sorted(os.listdir(q_dir))[0]))
+        assert res["score_map"].shape == (res["height"], res["width"]) == (84, 112)
+        assert res["score_map"].dtype == np.float32
+        assert 0.0 <= res["mean_score"] <= 1.0
+
+    def test_one_compile_per_shape(self, ws, server):
+        """Repeat queries at a seen shape must not grow the compiled set."""
+        _, scorer = server
+        q_dir, _ = _dirs(ws)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        before = list(scorer.compiled_shapes)
+        scorer.score_path(p)
+        scorer.score_path(p)
+        assert scorer.compiled_shapes == before
+        assert (84, 112) in scorer.compiled_shapes  # warm-up covered it
+
+
+class TestHTTP:
+    def test_healthz(self, server):
+        srv, scorer = server
+        with urllib.request.urlopen(_url(srv, "/healthz")) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+        assert h["refs"] == 2
+        assert tuple(h["token_shape"]) == scorer.token_shape
+
+    def test_score_bytes_json(self, ws, server):
+        srv, scorer = server
+        q_dir, _ = _dirs(ws)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        body = open(p, "rb").read()
+        req = urllib.request.Request(_url(srv, "/score"), data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        want = scorer.score_path(p)
+        assert res["mean_score"] == pytest.approx(want["mean_score"], abs=1e-6)
+        assert (res["height"], res["width"]) == (84, 112)
+
+    def test_score_map_npy(self, ws, server):
+        import io
+
+        srv, scorer = server
+        q_dir, _ = _dirs(ws)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        req = urllib.request.Request(
+            _url(srv, "/score?map=npy"), data=open(p, "rb").read(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            got = np.load(io.BytesIO(r.read()))
+        np.testing.assert_array_equal(got, scorer.score_path(p)["score_map"])
+
+    def test_score_map_png_uint16(self, ws, server):
+        import io
+
+        from PIL import Image
+
+        srv, _ = server
+        q_dir, _ = _dirs(ws)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        req = urllib.request.Request(
+            _url(srv, "/score?map=png"), data=open(p, "rb").read(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            img = Image.open(io.BytesIO(r.read()))
+        assert img.size == (112, 84)
+        assert np.asarray(img).dtype == np.uint16
+
+    def test_score_path_batch(self, ws, server):
+        srv, scorer = server
+        q_dir, _ = _dirs(ws)
+        paths = [os.path.join(q_dir, n) for n in sorted(os.listdir(q_dir))[:2]]
+        req = urllib.request.Request(
+            _url(srv, "/score_path"),
+            data=json.dumps({"paths": paths}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert [x["path"] for x in res] == paths
+        for x in res:
+            assert x["mean_score"] == pytest.approx(
+                scorer.score_path(x["path"])["mean_score"], abs=1e-6
+            )
+
+    def test_bad_request_is_json_error(self, server):
+        srv, _ = server
+        req = urllib.request.Request(
+            _url(srv, "/score_path"), data=b"{}", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+        assert "error" in json.loads(e.value.read())
