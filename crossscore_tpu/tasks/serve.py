@@ -31,6 +31,14 @@ Shapes: one compiled graph per distinct (resized, trimmed) query shape —
 fixed-resolution cameras compile once; a new aspect ratio pays one compile
 (logged). References must share one shape after preprocessing (one token
 batch); the daemon refuses mixed-shape reference dirs with a clear error.
+
+Transfer budget (HBM-bandwidth rule applied to the serving link): the
+per-frame mean reduces ON DEVICE inside the same compiled graph, so a JSON
+request fetches one scalar — the full float32 map crosses the link only for
+``?map=npy|png`` responses. ``this_main.serve_upload_cast=true`` additionally
+uploads queries in the compute dtype (halves H2D under bf16) at the cost of
+bf16-input-rounding score drift (~1e-3, bounded in tests) — XLA elides the
+in-graph downcast, so the f32-fed graph is the exactness reference.
 """
 
 from __future__ import annotations
@@ -115,7 +123,26 @@ class Scorer:
         self.token_shape = tuple(int(s) for s in tokens.shape[1:])
         self.disk_hits = cache.disk_hits
 
-        self._step = jax.jit(make_predict_step_cached(self.model))
+        # host<->device traffic is the serving tax (PCIe on a real host; the
+        # relay tunnel here): the per-frame mean reduces ON DEVICE, so a JSON
+        # request fetches one scalar instead of the full (H, W) float32 map.
+        # this_main.serve_upload_cast=true additionally uploads queries in the
+        # compute dtype (halves H2D under bf16) — opt-in because XLA ELIDES
+        # the in-graph f32->bf16 input downcast (the f32-fed conv runs at f32
+        # precision), so the pre-cast shifts scores by up to bf16 input
+        # rounding (~1e-3; bounded in tests/test_serve.py). Default: exact.
+        self._in_dtype = (
+            mcfg.compute_dtype
+            if bool(cfg.this_main.get("serve_upload_cast", False))
+            else np.float32
+        )
+        base_step = make_predict_step_cached(self.model)
+
+        def _fwd(params, q, tokens):
+            m = base_step(params, q, tokens)["score_map_ref_cross"]
+            return m, m.mean(axis=(1, 2))
+
+        self._step = jax.jit(_fwd)
         self._lock = threading.Lock()
         self.compiled_shapes: list[tuple[int, int]] = []
         self.n_requests = 0
@@ -144,35 +171,41 @@ class Scorer:
         img = img[: h - h % 14, : w - w % 14]
         return normalize_imagenet(img).astype(np.float32)
 
-    def _score_preprocessed(self, q: np.ndarray) -> np.ndarray:
+    def _score_preprocessed(self, q: np.ndarray, want_map: bool = True):
         shape = q.shape[:2]
+        q = np.asarray(q[None], self._in_dtype)
         with self._lock:
             if shape not in self.compiled_shapes:
                 print(f"serve: compiling query shape {shape} "
                       f"({len(self.compiled_shapes)} cached)", flush=True)
                 self.compiled_shapes.append(shape)
-            out = self._step(self.params, q[None], self.tokens)
-            score_map = np.asarray(out["score_map_ref_cross"][0], np.float32)
+            map_dev, mean_dev = self._step(self.params, q, self.tokens)
+            mean = float(np.asarray(mean_dev[0]))  # scalar fetch = sync barrier
+            score_map = np.asarray(map_dev[0], np.float32) if want_map else None
         self.n_requests += 1
-        return score_map
+        return score_map, mean, shape
 
-    def score(self, img: np.ndarray) -> dict:
-        """float32 [0,1] (H, W, 3) image -> score map + per-frame mean."""
+    def score(self, img: np.ndarray, want_map: bool = True) -> dict:
+        """float32 [0,1] (H, W, 3) image -> per-frame mean (+ score map)."""
         t0 = time.perf_counter()
-        score_map = self._score_preprocessed(self._preprocess(img))
-        return {
-            "mean_score": float(score_map.mean()),
-            "height": int(score_map.shape[0]),
-            "width": int(score_map.shape[1]),
+        score_map, mean, shape = self._score_preprocessed(
+            self._preprocess(img), want_map
+        )
+        res = {
+            "mean_score": mean,
+            "height": int(shape[0]),
+            "width": int(shape[1]),
             "time_ms": round(1e3 * (time.perf_counter() - t0), 2),
-            "score_map": score_map,
         }
+        if want_map:
+            res["score_map"] = score_map
+        return res
 
-    def score_bytes(self, data: bytes) -> dict:
-        return self.score(self._image_read_bytes(data))
+    def score_bytes(self, data: bytes, want_map: bool = True) -> dict:
+        return self.score(self._image_read_bytes(data), want_map)
 
-    def score_path(self, path: str) -> dict:
-        return self.score(self._image_read(path))
+    def score_path(self, path: str, want_map: bool = True) -> dict:
+        return self.score(self._image_read(path), want_map)
 
     def health(self) -> dict:
         import jax
@@ -245,8 +278,9 @@ def make_server(cfg):
             map_mode = q.get("map", ["none"])[0]
             try:
                 body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                want_map = map_mode in ("npy", "png")
                 if url.path == "/score":
-                    self._respond_scored(scorer.score_bytes(body), map_mode)
+                    self._respond_scored(scorer.score_bytes(body, want_map), map_mode)
                 elif url.path == "/score_path":
                     req = json.loads(body)
                     paths = req.get("paths", [req["path"]] if "path" in req else [])
@@ -254,7 +288,8 @@ def make_server(cfg):
                         raise ValueError("score_path needs 'path' or 'paths'")
                     self._send_json(
                         200,
-                        [dict(_json_result(scorer.score_path(p)), path=p) for p in paths],
+                        [dict(_json_result(scorer.score_path(p, want_map=False)), path=p)
+                         for p in paths],
                     )
                 else:
                     self._send_json(404, {"error": f"unknown path {url.path}"})

@@ -112,6 +112,51 @@ class TestScorer:
         assert res["score_map"].dtype == np.float32
         assert 0.0 <= res["mean_score"] <= 1.0
 
+    def test_bf16_upload_modes(self, ws):
+        """Default bf16 daemon uploads float32 queries — bit-identical to the
+        f32-fed cached step (XLA elides in-graph input downcasts, so the
+        f32-fed graph is the exactness reference). serve_upload_cast=true
+        halves H2D and must stay within bf16-input-rounding of it."""
+        from crossscore_tpu.io.images import image_read
+        from crossscore_tpu.models import CrossScoreConfig, CrossScoreNet
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+        from crossscore_tpu.train.step import make_predict_step_cached
+
+        q_dir, ref_dir = _dirs(ws)
+        bf16_overrides = [o for o in OVERRIDES if "compute_dtype" not in o] + [
+            f"data.dataset.reference_dir={ref_dir}"
+        ]
+        cfg = parse_cli("default_predict", bf16_overrides)
+        assert cfg.model.tpu.compute_dtype == "bfloat16"  # the default
+        scorer = Scorer(cfg)
+        assert scorer._in_dtype == np.float32  # exact by default
+
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        got = scorer.score_path(p)["score_map"]
+
+        import jax
+
+        model = CrossScoreNet(CrossScoreConfig.from_config(cfg))
+        q = scorer._preprocess(image_read(p))[None].astype(np.float32)
+        # the JITTED cached step is exactly what tasks.predict dispatches
+        want = np.asarray(
+            jax.jit(make_predict_step_cached(model))(
+                scorer.params, q, scorer.tokens
+            )["score_map_ref_cross"][0],
+            np.float32,
+        )
+        np.testing.assert_array_equal(got, want)
+
+        cast_scorer = Scorer(
+            parse_cli(
+                "default_predict", bf16_overrides + ["this_main.serve_upload_cast=true"]
+            )
+        )
+        got_cast = cast_scorer.score_path(p)["score_map"]
+        assert got_cast.shape == want.shape
+        np.testing.assert_allclose(got_cast, want, atol=5e-3)
+
     def test_one_compile_per_shape(self, ws, server):
         """Repeat queries at a seen shape must not grow the compiled set."""
         _, scorer = server
