@@ -39,6 +39,13 @@ request fetches one scalar — the full float32 map crosses the link only for
 uploads queries in the compute dtype (halves H2D under bf16) at the cost of
 bf16-input-rounding score drift (~1e-3, bounded in tests) — XLA elides the
 in-graph downcast, so the f32-fed graph is the exactness reference.
+
+Throughput under load: ``this_main.serve_max_batch`` > 1 micro-batches
+concurrent requests into one padded device dispatch (power-of-two buckets,
+every (shape, bucket) graph warmed at startup; the batching window is
+``serve_batch_window_ms``). B=8 is the measured per-chip optimum on the
+cached path (PERFORMANCE.md) — batched serving approaches it instead of
+paying a B=1 dispatch per request.
 """
 
 from __future__ import annotations
@@ -139,16 +146,43 @@ class Scorer:
         base_step = make_predict_step_cached(self.model)
 
         def _fwd(params, q, tokens):
-            m = base_step(params, q, tokens)["score_map_ref_cross"]
+            import jax.numpy as jnp
+
+            # the reference tokens are shared by every query in the batch
+            tok = jnp.broadcast_to(tokens, (q.shape[0],) + tokens.shape[1:])
+            m = base_step(params, q, tok)["score_map_ref_cross"]
             return m, m.mean(axis=(1, 2))
 
         self._step = jax.jit(_fwd)
         self._lock = threading.Lock()
-        self.compiled_shapes: list[tuple[int, int]] = []
+        self.compiled_shapes: list[tuple[int, int, int]] = []  # (h, w, bucket)
         self.n_requests = 0
+        self.n_dispatches = 0
+        self.max_batch_seen = 0
+
+        # request micro-batching (this_main.serve_max_batch > 1): concurrent
+        # requests drain into ONE padded device dispatch — per-chip throughput
+        # under load approaches the batched predict path (B=8 is the measured
+        # optimum, PERFORMANCE.md) instead of paying B=1 per request. Bucket
+        # sizes are powers of two up to the cap; each (shape, bucket) is one
+        # compiled graph, all warmed at startup. Per-item outputs carry batch-
+        # shape reduction-order noise (~1e-7 f32) vs a B=1 dispatch — the same
+        # caveat the token cache documents (data/token_cache.py).
+        self.max_batch = max(1, int(cfg.this_main.get("serve_max_batch", 1)))
+        self.batch_window_s = float(cfg.this_main.get("serve_batch_window_ms", 2.0)) / 1e3
+        self._buckets = sorted(
+            {b for b in (1, 2, 4, 8, 16, 32) if b <= self.max_batch} | {self.max_batch}
+        )
+        if self.max_batch > 1:
+            import queue
+
+            self._queue: "queue.Queue" = queue.Queue()
+            threading.Thread(target=self._dispatch_loop, daemon=True).start()
+
         # warm-up at the reference shape (the common camera-matches-renders
-        # case compiles at startup, not on the first request)
-        self._score_preprocessed(refs[0])
+        # case compiles at startup, not on the first request) — every bucket
+        for b in self._buckets:
+            self._run_device(np.stack([refs[0]] * b), want_map=(b == self._buckets[0]))
 
     # ------------------------------------------------------------ scoring
 
@@ -171,18 +205,87 @@ class Scorer:
         img = img[: h - h % 14, : w - w % 14]
         return normalize_imagenet(img).astype(np.float32)
 
+    def _run_device(self, qs: np.ndarray, want_map: bool):
+        """One padded device dispatch for (n, H, W, 3) preprocessed queries.
+        Returns (maps-or-None, means) for the n rows."""
+        n = len(qs)
+        bucket = min(b for b in self._buckets if b >= n)
+        if n < bucket:
+            qs = np.concatenate([qs, np.broadcast_to(qs[-1:], (bucket - n, *qs.shape[1:]))])
+        qs = np.asarray(qs, self._in_dtype)
+        key = (int(qs.shape[1]), int(qs.shape[2]), bucket)
+        with self._lock:
+            if key not in self.compiled_shapes:
+                print(f"serve: compiling query shape {key[:2]} bucket={bucket} "
+                      f"({len(self.compiled_shapes)} cached)", flush=True)
+                self.compiled_shapes.append(key)
+            map_dev, mean_dev = self._step(self.params, qs, self.tokens)
+            means = np.asarray(mean_dev[:n], np.float32)  # small fetch = sync barrier
+            maps = np.asarray(map_dev[:n], np.float32) if want_map else None
+        self.n_requests += n
+        self.n_dispatches += 1
+        self.max_batch_seen = max(self.max_batch_seen, n)
+        return maps, means
+
+    class _Pending:
+        __slots__ = ("q", "want_map", "event", "result", "error")
+
+        def __init__(self, q, want_map):
+            self.q, self.want_map = q, want_map
+            self.event = threading.Event()
+            self.result = self.error = None
+
+    def _run_batch(self, batch: list) -> None:
+        try:
+            want_map = any(it.want_map for it in batch)
+            maps, means = self._run_device(
+                np.stack([it.q for it in batch]), want_map
+            )
+            for i, it in enumerate(batch):
+                it.result = (maps[i] if it.want_map else None, float(means[i]))
+        except Exception as e:  # deliver to every waiter; the loop survives
+            for it in batch:
+                it.error = e
+        finally:
+            for it in batch:
+                it.event.set()
+
+    def _dispatch_loop(self) -> None:
+        """Drain concurrent requests into one padded dispatch: wait for the
+        first item, then collect same-shape items for the batching window (or
+        until the cap); a shape change flushes the current batch."""
+        import queue
+
+        while True:
+            batch = [self._queue.get()]
+            deadline = time.perf_counter() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt.q.shape != batch[0].q.shape:
+                    self._run_batch(batch)
+                    batch = [nxt]
+                    deadline = time.perf_counter() + self.batch_window_s
+                else:
+                    batch.append(nxt)
+            self._run_batch(batch)
+
     def _score_preprocessed(self, q: np.ndarray, want_map: bool = True):
         shape = q.shape[:2]
-        q = np.asarray(q[None], self._in_dtype)
-        with self._lock:
-            if shape not in self.compiled_shapes:
-                print(f"serve: compiling query shape {shape} "
-                      f"({len(self.compiled_shapes)} cached)", flush=True)
-                self.compiled_shapes.append(shape)
-            map_dev, mean_dev = self._step(self.params, q, self.tokens)
-            mean = float(np.asarray(mean_dev[0]))  # scalar fetch = sync barrier
-            score_map = np.asarray(map_dev[0], np.float32) if want_map else None
-        self.n_requests += 1
+        if self.max_batch == 1:
+            maps, means = self._run_device(q[None], want_map)
+            return (maps[0] if want_map else None), float(means[0]), shape
+        item = self._Pending(q, want_map)
+        self._queue.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        score_map, mean = item.result
         return score_map, mean, shape
 
     def score(self, img: np.ndarray, want_map: bool = True) -> dict:
@@ -216,6 +319,9 @@ class Scorer:
             "token_shape": list(self.token_shape),
             "compiled_shapes": [list(s) for s in self.compiled_shapes],
             "requests": self.n_requests,
+            "dispatches": self.n_dispatches,
+            "max_batch": self.max_batch,
+            "max_batch_seen": self.max_batch_seen,
             "restart_warm_disk_hits": self.disk_hits,
             "backend": jax.default_backend(),
         }

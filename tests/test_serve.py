@@ -166,7 +166,57 @@ class TestScorer:
         scorer.score_path(p)
         scorer.score_path(p)
         assert scorer.compiled_shapes == before
-        assert (84, 112) in scorer.compiled_shapes  # warm-up covered it
+        assert (84, 112, 1) in scorer.compiled_shapes  # warm-up covered it
+
+
+class TestBatching:
+    def test_microbatch_matches_sequential(self, ws):
+        """serve_max_batch>1: concurrent requests coalesce into padded
+        dispatches whose per-item means match sequential B=1 dispatches
+        (batch-shape reduction-order noise only)."""
+        import threading as th
+
+        from crossscore_tpu.io.images import image_read
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+
+        q_dir, ref_dir = _dirs(ws)
+        cfg = parse_cli(
+            "default_predict",
+            OVERRIDES
+            + [
+                f"data.dataset.reference_dir={ref_dir}",
+                "this_main.serve_max_batch=4",
+                "this_main.serve_batch_window_ms=200",
+            ],
+        )
+        scorer = Scorer(cfg)
+        # every (shape, bucket) graph was warmed at startup
+        assert {s[2] for s in scorer.compiled_shapes} == {1, 2, 4}
+
+        frames = [os.path.join(q_dir, n) for n in sorted(os.listdir(q_dir))]
+        qs = [scorer._preprocess(image_read(p)) for p in frames] * 2  # 6 reqs
+        seq = [scorer._score_preprocessed(q, want_map=False)[1] for q in qs[:3]]
+
+        base_dispatches = scorer.n_dispatches
+        results = [None] * len(qs)
+        barrier = th.Barrier(len(qs))
+
+        def worker(i):
+            barrier.wait()
+            results[i] = scorer._score_preprocessed(qs[i], want_map=False)
+
+        threads = [th.Thread(target=worker, args=(i,)) for i in range(len(qs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, (_, mean, shape) in enumerate(results):
+            assert shape == (84, 112)
+            assert mean == pytest.approx(seq[i % 3], abs=1e-5)
+        assert scorer.max_batch_seen >= 2  # requests actually coalesced
+        assert scorer.n_dispatches - base_dispatches < len(qs)
 
 
 class TestHTTP:
