@@ -202,6 +202,11 @@ class Scorer:
             else:
                 h, w = max(1, round(h * s / w)), s
             img = resize_bilinear_antialias(img, h, w)
+        if min(h, w) < 14:
+            raise ValueError(
+                f"image too small after resize: {(h, w)} — needs at least one "
+                f"14px patch per side (this_main.resize_short_side={s})"
+            )
         img = img[: h - h % 14, : w - w % 14]
         return normalize_imagenet(img).astype(np.float32)
 
@@ -222,9 +227,9 @@ class Scorer:
             map_dev, mean_dev = self._step(self.params, qs, self.tokens)
             means = np.asarray(mean_dev[:n], np.float32)  # small fetch = sync barrier
             maps = np.asarray(map_dev[:n], np.float32) if want_map else None
-        self.n_requests += n
-        self.n_dispatches += 1
-        self.max_batch_seen = max(self.max_batch_seen, n)
+            self.n_requests += n
+            self.n_dispatches += 1
+            self.max_batch_seen = max(self.max_batch_seen, n)
         return maps, means
 
     class _Pending:
