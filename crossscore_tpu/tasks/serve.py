@@ -21,6 +21,10 @@ HTTP API (stdlib ``http.server``; zero extra dependencies):
                        encoding, reference ``utils/io/images.py:32-63``).
   POST /score_path  -> JSON ``{"path": "..."}`` or ``{"paths": [...]}`` for
                        server-local files; returns JSON results in order.
+  POST /reload      -> JSON ``{"ckpt": "..."}``: zero-downtime weight
+                       hot-swap — params load and reference tokens re-encode
+                       off the serving path, then swap atomically (compiled
+                       graphs stay valid; failures keep the old weights).
 
 Exactness contract: queries and references are trimmed to patch multiples
 (%14) after the short-side resize. The patch-embed conv strides ignore the
@@ -118,10 +122,14 @@ class Scorer:
         }
         self.params = load_model_params(cfg, self.model, example)
 
-        encode = jax.jit(make_backbone_encoder(mcfg))
+        self._encode_jit = jax.jit(make_backbone_encoder(mcfg))
+        self._encode_batch = int(cfg.this_main.get("ref_token_cache_encode_batch", 16))
+        self._ref_paths = ref_paths
+        self._ref_imgs = ref_imgs  # kept for checkpoint hot-reload re-encode
+        self.ckpt_path = cfg.trainer.ckpt_path_to_load
         cache = RefTokenCache(
-            lambda imgs, valid_hw=None: encode(self.params, imgs),
-            encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
+            lambda imgs, valid_hw=None: self._encode_jit(self.params, imgs),
+            encode_batch=self._encode_batch,
             max_items=max(self.n_refs, int(cfg.this_main.get("ref_token_cache_max_items", 2048))),
             persist_dir=cfg.this_main.get("ref_token_cache_dir"),
         )
@@ -315,11 +323,54 @@ class Scorer:
     def score_path(self, path: str, want_map: bool = True) -> dict:
         return self.score(self._image_read(path), want_map)
 
+    def reload(self, ckpt_path: str) -> dict:
+        """Zero-downtime weight hot-swap: load params from ``ckpt_path``
+        (torch .ckpt or orbax dir, same resolution as the CLI flag),
+        re-encode the reference tokens with them, then swap both atomically
+        under the dispatch lock. The compiled graphs stay valid — params and
+        tokens are jit ARGUMENTS, not constants — and requests keep serving
+        the old weights until the swap. On failure the old state is kept."""
+        import jax
+
+        from crossscore_tpu.data.token_cache import RefTokenCache
+        from crossscore_tpu.tasks.common import load_model_params
+
+        if not ckpt_path:
+            raise ValueError("reload needs a checkpoint path")
+        t0 = time.perf_counter()
+        old = self.cfg.trainer.ckpt_path_to_load
+        self.cfg.trainer.ckpt_path_to_load = ckpt_path
+        try:
+            example = {
+                "query/img": self._ref_imgs[0, :1],
+                "reference/cross/imgs": self._ref_imgs,
+            }
+            params = load_model_params(self.cfg, self.model, example)
+            cache = RefTokenCache(
+                lambda imgs, valid_hw=None: self._encode_jit(params, imgs),
+                encode_batch=self._encode_batch,
+                max_items=max(self.n_refs, 1),
+            )
+            tokens = cache.gather([[p] for p in self._ref_paths], self._ref_imgs)
+        except Exception:
+            self.cfg.trainer.ckpt_path_to_load = old
+            raise
+        with self._lock:
+            self.params = params
+            self.tokens = jax.device_put(tokens)
+            self.ckpt_path = ckpt_path
+        return {
+            "status": "reloaded",
+            "ckpt": str(ckpt_path),
+            "seconds": round(time.perf_counter() - t0, 2),
+        }
+
     def health(self) -> dict:
         import jax
 
         return {
             "status": "ok",
+            "ckpt": None if self.ckpt_path is None else str(self.ckpt_path),
             "refs": self.n_refs,
             "token_shape": list(self.token_shape),
             "compiled_shapes": [list(s) for s in self.compiled_shapes],
@@ -392,6 +443,8 @@ def make_server(cfg):
                 want_map = map_mode in ("npy", "png")
                 if url.path == "/score":
                     self._respond_scored(scorer.score_bytes(body, want_map), map_mode)
+                elif url.path == "/reload":
+                    self._send_json(200, scorer.reload(json.loads(body).get("ckpt")))
                 elif url.path == "/score_path":
                     req = json.loads(body)
                     paths = req.get("paths", [req["path"]] if "path" in req else [])

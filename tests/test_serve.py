@@ -169,6 +169,55 @@ class TestScorer:
         assert (84, 112, 1) in scorer.compiled_shapes  # warm-up covered it
 
 
+class TestHotReload:
+    def test_reload_roundtrip(self, ws, tmp_path):
+        """POST /reload semantics: weights + reference tokens swap atomically;
+        reloading the original checkpoint restores bit-identical scores."""
+        import jax
+
+        from crossscore_tpu.io.checkpoint import save_params
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+
+        q_dir, ref_dir = _dirs(ws)
+        cfg = parse_cli(
+            "default_predict", OVERRIDES + [f"data.dataset.reference_dir={ref_dir}"]
+        )
+        scorer = Scorer(cfg)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        r1 = scorer.score_path(p)["mean_score"]
+
+        save_params(tmp_path / "A", scorer.params)
+        scaled = jax.tree_util.tree_map(lambda x: np.asarray(x) * 1.5, scorer.params)
+        save_params(tmp_path / "B", scaled)
+
+        res = scorer.reload(str(tmp_path / "B"))
+        assert res["status"] == "reloaded"
+        assert scorer.health()["ckpt"] == str(tmp_path / "B")
+        r2 = scorer.score_path(p)["mean_score"]
+        assert abs(r2 - r1) > 1e-5  # new weights actually serve
+
+        scorer.reload(str(tmp_path / "A"))
+        r3 = scorer.score_path(p)["mean_score"]
+        assert r3 == r1  # tokens re-encoded + params restored: bit-identical
+
+    def test_reload_failure_keeps_old_weights(self, ws, tmp_path):
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+
+        q_dir, ref_dir = _dirs(ws)
+        cfg = parse_cli(
+            "default_predict", OVERRIDES + [f"data.dataset.reference_dir={ref_dir}"]
+        )
+        scorer = Scorer(cfg)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        r1 = scorer.score_path(p)["mean_score"]
+        with pytest.raises(Exception):
+            scorer.reload(str(tmp_path / "missing"))
+        assert scorer.cfg.trainer.ckpt_path_to_load is None  # rolled back
+        assert scorer.score_path(p)["mean_score"] == r1
+
+
 class TestBatching:
     def test_microbatch_matches_sequential(self, ws):
         """serve_max_batch>1: concurrent requests coalesce into padded
