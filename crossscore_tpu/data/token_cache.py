@@ -27,6 +27,8 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import os
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Callable
@@ -105,7 +107,10 @@ class RefTokenCache:
 
     def _disk_store(self, key: tuple, tokens: np.ndarray) -> None:
         p = self._disk_path(key)
-        tmp = p.with_suffix(".tmp.npz")
+        # unique tmp per writer: concurrent processes/threads encoding the
+        # same reference must not race on one tmp name (the loser's replace
+        # would raise FileNotFoundError); last replace wins, all are whole
+        tmp = p.with_suffix(f".tmp.{os.getpid()}.{threading.get_ident()}.npz")
         np.savez(
             tmp,
             data=np.ascontiguousarray(tokens).view(np.uint8),

@@ -300,15 +300,22 @@ print("packed", cache.misses)
             s = x.reshape(x.shape[0], -1).sum(axis=1)
             return np.tile(s[:, None, None], (1, 4, 2)).astype(np.float32)
 
+        errors = []
+
         def work():
-            c = RefTokenCache(encode, encode_batch=2, persist_dir=str(store))
-            c.gather([[p] for p in paths], imgs)
+            try:
+                c = RefTokenCache(encode, encode_batch=2, persist_dir=str(store))
+                c.gather([[p] for p in paths], imgs)
+            except Exception as e:  # noqa: BLE001 — the test asserts none
+                errors.append(e)
 
         ts = [threading.Thread(target=work) for _ in range(3)]
         for t in ts:
             t.start()
         for t in ts:
             t.join()
+        # racing writers must not collide on tmp names (unique per writer)
+        assert not errors, errors
         reader = RefTokenCache(lambda x: (_ for _ in ()).throw(AssertionError()),
                                persist_dir=str(store))
         out = reader.gather([[p] for p in paths], imgs)
