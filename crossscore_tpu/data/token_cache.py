@@ -60,6 +60,17 @@ class RefTokenCache:
         self._dir = Path(persist_dir) if persist_dir else None
         if self._dir is not None:
             self._dir.mkdir(parents=True, exist_ok=True)
+            # best-effort sweep of tmp files orphaned by crashed writers
+            # (stale = older than an hour; live writers replace within ms)
+            import time as _time
+
+            cutoff = _time.time() - 3600
+            for t in self._dir.glob("*.tmp.*.npz"):
+                try:
+                    if t.stat().st_mtime < cutoff:
+                        t.unlink()
+                except OSError:
+                    pass  # another sweeper got it first
         self.hits = 0
         self.misses = 0
         self.skipped_decodes = 0  # slots whose host decode was skipped
