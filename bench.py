@@ -2,7 +2,22 @@
 
 Runs the flagship inference graph (frozen DINOv2-small backbone over 1+8
 views, fused Pallas cross-attention decoder, bf16) on the available
-accelerator and prints ONE JSON line.
+accelerator and prints ONE JSON line. The default run ALSO measures the two
+other operating points and embeds them under ``"extras"`` in that same line,
+so the driver captures all three:
+
+- ``serving_cached``: the warm-token-cache serving point (reference tokens
+  precomputed; each map costs 1 query forward + the decoder). NOT the
+  headline metric — the reference re-encodes refs per item
+  (task/core.py:119-161) — but the production serving number.
+- ``train_step``: the training step at the reference's production operating
+  point (B=24, K=5, 518px crops, bf16 — config/data/combined_training.yaml):
+  forward incl. frozen backbone, L1 loss, backward, masked AdamW, one jitted
+  graph.
+
+Single-mode runs for tooling: ``BENCH_CACHED=1`` / ``BENCH_TRAIN=1`` print
+just that measurement; ``BENCH_EXTRAS=0`` restricts the default run to the
+headline.
 
 Timing method: an in-graph ``lax.fori_loop`` with a data dependency between
 iterations (input perturbed by the loop index), so the measurement is true
@@ -14,46 +29,37 @@ CSE the iterations away.
 reference stack on its own hardware: torch fp16 on one A5000, B=8, K=8 —
 ~1.07 TFLOP per score map (9x DINOv2-small 518px forwards + decoder) at ~30%
 tensor-core MFU of 111 TFLOPS peak => ~25 maps/s. vs_baseline = value / 25.
+The train-step baseline uses the same discipline: ~17.5 TFLOP/step /
+(0.30 * 111 TFLOP/s) ≈ 525 ms/step.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-import os
-
 BASELINE_MAPS_PER_SEC_A5000 = 25.0
+BASELINE_TRAIN_MS_A5000 = 525.0
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 K_REFS = int(os.environ.get("BENCH_K", 8))
 HW = int(os.environ.get("BENCH_HW", 518))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
-# BENCH_CACHED=1: the cached-reference SERVING operating point — reference
-# tokens precomputed (the token cache warm), each map costs 1 query forward +
-# the decoder. NOT the headline metric (the reference re-encodes refs per
-# item, task/core.py:119-161); reported separately in PERFORMANCE.md.
 CACHED = bool(int(os.environ.get("BENCH_CACHED", "0")))
-# BENCH_TRAIN=1: the TRAINING step at the reference's production operating
-# point (B=24, K=5, 518px crops, bf16 — config/data/combined_training.yaml) —
-# forward incl. frozen backbone, L1 loss, backward, masked AdamW, one jitted
-# graph. vs_baseline: the same ~30%-MFU A5000 estimate discipline as the
-# headline — ~17.5 TFLOP/step / (0.30 * 111 TFLOP/s) ≈ 525 ms/step.
 TRAIN = bool(int(os.environ.get("BENCH_TRAIN", "0")))
-BASELINE_TRAIN_MS_A5000 = 525.0
+EXTRAS = bool(int(os.environ.get("BENCH_EXTRAS", "1")))
 
 
-def bench_train() -> None:
-    """Train-step throughput (BENCH_TRAIN=1): B=24 K=5 518px bf16, chained
-    states and a host scalar fetch per timed dispatch (the memoisation-proof
-    discipline from tools/train_microbench.py / PERFORMANCE.md)."""
+def measure_train() -> dict:
+    """Train-step time: B=24 K=5 518px bf16, chained states and a host scalar
+    fetch per timed dispatch (the memoisation-proof discipline from
+    tools/train_microbench.py / PERFORMANCE.md)."""
     import jax
     import jax.numpy as jnp
 
-    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
-
-    enable_compile_cache()
     from crossscore_tpu.confsys import load_config
     from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
     from crossscore_tpu.train import make_optimizer, make_train_step, create_train_state
@@ -110,31 +116,23 @@ def bench_train() -> None:
     dt_ms = max(dts) / n_it * 1e3
     floor_ms = batch_size * (1 + k) * 0.5  # >=0.5 ms per 518px image
     if dt_ms < floor_ms:
-        print(f'{{"warning": "reading {dt_ms:.0f}ms < sanity floor '
-              f'{floor_ms:.0f}ms — likely memoised"}}')
-    print(
-        json.dumps(
-            {
-                "metric": f"train-step ms (B={batch_size}, K={k}, {hw}px, bf16)",
-                "value": round(dt_ms, 1),
-                "unit": "ms/step",
-                "vs_baseline": round(BASELINE_TRAIN_MS_A5000 / dt_ms, 2),
-            }
+        print(
+            f"warning: train reading {dt_ms:.0f}ms < sanity floor "
+            f"{floor_ms:.0f}ms — likely memoised",
+            file=sys.stderr,
         )
-    )
+    return {
+        "metric": f"train-step ms (B={batch_size}, K={k}, {hw}px, bf16)",
+        "value": round(dt_ms, 1),
+        "unit": "ms/step",
+        "vs_baseline": round(BASELINE_TRAIN_MS_A5000 / dt_ms, 2),
+    }
 
 
-def main() -> None:
-    if TRAIN:
-        bench_train()
-        return
-
+def measure_inference(cached: bool) -> dict:
+    """Headline (cached=False) or warm-token-cache serving (cached=True)."""
     import jax
     import jax.numpy as jnp
-
-    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
-
-    enable_compile_cache()
 
     from crossscore_tpu.confsys import load_config
     from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig
@@ -155,7 +153,7 @@ def main() -> None:
         jax.random.PRNGKey(0), query[:1, :70, :70], refs[:1, :, :70, :70]
     )["params"]
 
-    if CACHED:
+    if cached:
         from crossscore_tpu.models.crossscore import make_backbone_encoder
 
         encode = jax.jit(make_backbone_encoder(mcfg))
@@ -199,16 +197,40 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / N_ITERS
 
     maps_per_sec = BATCH / dt
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(maps_per_sec, 2),
-                "unit": "maps/s",
-                "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC_A5000, 2),
-            }
-        )
-    )
+    return {
+        "metric": metric,
+        "value": round(maps_per_sec, 2),
+        "unit": "maps/s",
+        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC_A5000, 2),
+    }
+
+
+def main() -> None:
+    from crossscore_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
+    if TRAIN:
+        print(json.dumps(measure_train()))
+        return
+    if CACHED:
+        print(json.dumps(measure_inference(cached=True)))
+        return
+
+    result = measure_inference(cached=False)
+    if EXTRAS:
+        extras = {}
+        for name, fn in (
+            ("serving_cached", lambda: measure_inference(cached=True)),
+            ("train_step", measure_train),
+        ):
+            try:
+                extras[name] = fn()
+            except Exception as e:  # never lose the headline to an extra
+                print(f"warning: extras[{name}] failed: {e}", file=sys.stderr)
+                extras[name] = {"error": str(e)}
+        result["extras"] = extras
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
