@@ -111,6 +111,7 @@ class CrossScoreNet(nn.Module):
         norm_img: bool = False,
         valid_hw=None,
         ref_tokens: Optional[jnp.ndarray] = None,
+        ref_grid: Optional[tuple] = None,
     ) -> dict:
         """
         :param query_img: (B, H, W, 3) ImageNet-normalised (or [0,1] raw with
@@ -131,6 +132,14 @@ class CrossScoreNet(nn.Module):
             instead of the reference's 1+K, ``task/core.py:119-161``).
             Mutually exclusive with ``ref_imgs``. Produced by
             :func:`encode_backbone_tokens` / ``data/token_cache.py``.
+        :param ref_grid: static (gh_r, gw_r) patch grid of the cached
+            reference tokens when it DIFFERS from the query's grid (the
+            serving daemon's mixed-aspect case: fixed-shape reference set,
+            arbitrary query aspect). Defaults to the query grid; only valid
+            with ``ref_tokens``. The reference PE is interpolated to each
+            view's OWN grid (reference model adds PE per view,
+            task/core.py:87-98 — its views always share one shape, so this
+            axis never appears there).
         :return: dict with ``score_map_ref_cross`` (B, H, W) and optionally
                  ``attn_weights_map_ref_cross`` (B, gh, gw, K, gh, gw)
         """
@@ -237,8 +246,26 @@ class CrossScoreNet(nn.Module):
 
         results: dict = {}
         if c.do_reference_cross and k_ref > 0:
-            feat_ref = r_tok.reshape(b, k_ref * n_patch, d)
-            feat_ref = pos_enc(feat_ref, k_ref, gh, gw, valid_grid)
+            if ref_grid is not None and ref_tokens is None:
+                raise ValueError("ref_grid is only meaningful with ref_tokens")
+            n_patch_r = r_tok.shape[2] if ref_tokens is not None else n_patch
+            gh_r, gw_r = ref_grid if ref_grid is not None else (gh, gw)
+            if gh_r * gw_r != n_patch_r:
+                raise ValueError(
+                    f"ref_tokens carry {n_patch_r} patches per view but the "
+                    f"reference grid is {(gh_r, gw_r)}"
+                    + ("" if ref_grid is not None else
+                       " (the query's grid — pass ref_grid=(gh_r, gw_r) when "
+                       "the cached reference shape differs from the query's)")
+                )
+            if (gh_r, gw_r) != (gh, gw) and valid_hw is not None:
+                raise ValueError(
+                    "shape-bucketed serving (valid_hw) requires the query and "
+                    "cached-reference grids to match — bucket padding masks "
+                    "assume one shared grid per item"
+                )
+            feat_ref = r_tok.reshape(b, k_ref * n_patch_r, d)
+            feat_ref = pos_enc(feat_ref, k_ref, gh_r, gw_r, valid_grid)
 
             cross_bias = None
             if tok_bias is not None:
@@ -279,7 +306,7 @@ class CrossScoreNet(nn.Module):
 
             if need_attn_weights and mha_weights is not None:
                 results["attn_weights_map_ref_cross"] = mha_weights.reshape(
-                    b, gh, gw, k_ref, gh, gw
+                    b, gh, gw, k_ref, gh_r, gw_r
                 )
         return results
 

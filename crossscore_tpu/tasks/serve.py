@@ -152,21 +152,53 @@ class Scorer:
             else np.float32
         )
         base_step = make_predict_step_cached(self.model)
+        patch = int(CrossScoreConfig.from_config(cfg).patch_size)
+        ref_h, ref_w = refs[0].shape[:2]
+        self._ref_grid = (ref_h // patch, ref_w // patch)
 
         def _fwd(params, q, tokens):
             import jax.numpy as jnp
 
-            # the reference tokens are shared by every query in the batch
+            # the reference tokens are shared by every query in the batch;
+            # ref_grid pins the PE to the REFERENCE shape's grid, so queries
+            # of any aspect ratio score against the one cached token set
             tok = jnp.broadcast_to(tokens, (q.shape[0],) + tokens.shape[1:])
-            m = base_step(params, q, tok)["score_map_ref_cross"]
+            m = base_step(params, q, tok, ref_grid=self._ref_grid)[
+                "score_map_ref_cross"
+            ]
             return m, m.mean(axis=(1, 2))
 
         self._step = jax.jit(_fwd)
         self._lock = threading.Lock()
+        # explicit per-(h, w, bucket) executables (lower+compile instead of
+        # relying on jit's internal cache) so they can be serialized into /
+        # loaded from an AOT artifact (io/aot.py)
+        self._compiled: dict[tuple[int, int, int], object] = {}
+        self._aot_keys: set[tuple[int, int, int]] = set()
         self.compiled_shapes: list[tuple[int, int, int]] = []  # (h, w, bucket)
         self.n_requests = 0
         self.n_dispatches = 0
         self.max_batch_seen = 0
+
+        aot_load = cfg.this_main.get("serve_aot_load")
+        if aot_load:
+            from crossscore_tpu.io.aot import load_artifact, params_signature
+
+            _, fns = load_artifact(
+                aot_load,
+                expect_meta={
+                    "token_shape": tuple(self.token_shape),
+                    "params_signature": params_signature(self.params),
+                    "in_dtype": str(np.dtype(self._in_dtype)),
+                },
+            )
+            for key_s, fn in fns.items():
+                h, w, b = (int(x) for x in key_s.replace("xb", "x").split("x"))
+                self._compiled[(h, w, b)] = fn
+                self._aot_keys.add((h, w, b))
+                self.compiled_shapes.append((h, w, b))
+            print(f"serve: loaded {len(fns)} AOT-compiled graphs from {aot_load}",
+                  flush=True)
 
         # request micro-batching (this_main.serve_max_batch > 1): concurrent
         # requests drain into ONE padded device dispatch — per-chip throughput
@@ -188,9 +220,51 @@ class Scorer:
             threading.Thread(target=self._dispatch_loop, daemon=True).start()
 
         # warm-up at the reference shape (the common camera-matches-renders
-        # case compiles at startup, not on the first request) — every bucket
-        for b in self._buckets:
-            self._run_device(np.stack([refs[0]] * b), want_map=(b == self._buckets[0]))
+        # case compiles at startup, not on the first request) — every bucket;
+        # this_main.serve_warm_shapes adds known camera shapes ("HxW",
+        # post-resize/trim) so a fleet pre-compiles everything it will see
+        warm = [refs[0].shape[:2]]
+        for s in cfg.this_main.get("serve_warm_shapes") or []:
+            h, w = (int(x) for x in str(s).lower().split("x"))
+            if h % 14 or w % 14:
+                raise ValueError(
+                    f"serve_warm_shapes entry {s!r} must be %14-trimmed "
+                    f"(post-resize shapes, e.g. '518x686')"
+                )
+            warm.append((h, w))
+        for h, w in warm:
+            for b in self._buckets:
+                self._run_device(
+                    np.zeros((b, h, w, 3), np.float32),
+                    want_map=(b == self._buckets[0]),
+                )
+
+        aot_save = cfg.this_main.get("serve_aot_save")
+        if aot_save:
+            from crossscore_tpu.io.aot import (
+                params_signature, save_artifact, serialize_compiled,
+            )
+
+            try:
+                entries = {
+                    f"{h}x{w}xb{b}": serialize_compiled(c)
+                    for (h, w, b), c in self._compiled.items()
+                    if (h, w, b) not in self._aot_keys  # loaded fns can't re-serialize
+                }
+                save_artifact(
+                    aot_save,
+                    entries,
+                    meta={
+                        "token_shape": tuple(self.token_shape),
+                        "params_signature": params_signature(self.params),
+                        "in_dtype": str(np.dtype(self._in_dtype)),
+                    },
+                )
+                print(f"serve: saved {len(entries)} AOT-compiled graphs to "
+                      f"{aot_save}", flush=True)
+            except Exception as e:  # keep serving even if the backend can't
+                print(f"serve: AOT save failed ({e}); continuing without "
+                      f"artifact", flush=True)
 
     # ------------------------------------------------------------ scoring
 
@@ -227,14 +301,44 @@ class Scorer:
             qs = np.concatenate([qs, np.broadcast_to(qs[-1:], (bucket - n, *qs.shape[1:]))])
         qs = np.asarray(qs, self._in_dtype)
         key = (int(qs.shape[1]), int(qs.shape[2]), bucket)
-        with self._lock:
-            if key not in self.compiled_shapes:
-                print(f"serve: compiling query shape {key[:2]} bucket={bucket} "
-                      f"({len(self.compiled_shapes)} cached)", flush=True)
-                self.compiled_shapes.append(key)
-            map_dev, mean_dev = self._step(self.params, qs, self.tokens)
+
+        def _compile():
+            import jax
+
+            print(f"serve: compiling query shape {key[:2]} bucket={bucket} "
+                  f"({len(self.compiled_shapes)} cached)", flush=True)
+            avals = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (self.params, qs, self.tokens),
+            )
+            return self._step.lower(*avals).compile()
+
+        def _execute(fn):
+            map_dev, mean_dev = fn(self.params, qs, self.tokens)
             means = np.asarray(mean_dev[:n], np.float32)  # small fetch = sync barrier
             maps = np.asarray(map_dev[:n], np.float32) if want_map else None
+            return maps, means
+
+        with self._lock:
+            fn = self._compiled.get(key)
+            if fn is None:
+                fn = self._compiled[key] = _compile()
+                self.compiled_shapes.append(key)
+            try:
+                maps, means = _execute(fn)
+            except Exception as e:
+                if key not in self._aot_keys:
+                    raise
+                # an artifact-loaded executable failed AT DISPATCH (e.g. the
+                # XLA:CPU AOT loader's machine-feature relocation gap) —
+                # degrade gracefully: recompile this graph in-process and keep
+                # serving rather than failing the request
+                print(f"serve: AOT executable for {key} failed at dispatch "
+                      f"({type(e).__name__}: {e}); recompiling in-process",
+                      flush=True)
+                self._aot_keys.discard(key)
+                fn = self._compiled[key] = _compile()
+                maps, means = _execute(fn)
             self.n_requests += n
             self.n_dispatches += 1
             self.max_batch_seen = max(self.max_batch_seen, n)
@@ -379,6 +483,7 @@ class Scorer:
             "max_batch": self.max_batch,
             "max_batch_seen": self.max_batch_seen,
             "restart_warm_disk_hits": self.disk_hits,
+            "aot_shapes": len(self._aot_keys),
             "backend": jax.default_backend(),
         }
 
@@ -467,6 +572,16 @@ def make_server(cfg):
 
 
 def serve(cfg) -> None:
+    if bool(cfg.this_main.get("serve_warmup_only", False)):
+        # exporter mode: build + warm the Scorer (which saves the AOT
+        # artifact when serve_aot_save is set), then exit without serving
+        scorer = Scorer(cfg)
+        print(
+            f"serve: warmup-only done — {len(scorer.compiled_shapes)} graphs "
+            f"compiled, {scorer.n_refs} references encoded",
+            flush=True,
+        )
+        return
     server, scorer = make_server(cfg)
     host, port = server.server_address[:2]
     print(

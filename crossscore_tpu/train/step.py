@@ -166,10 +166,10 @@ def make_predict_step_cached(model: CrossScoreNet):
     with shape-bucketed serving — the query encode and the decoder mask the
     bucket padding exactly as the uncached bucketed path does."""
 
-    def predict_step(params, query_img, ref_tokens, valid_hw=None):
+    def predict_step(params, query_img, ref_tokens, valid_hw=None, ref_grid=None):
         return model.apply(
             {"params": params}, query_img, None, ref_tokens=ref_tokens,
-            valid_hw=valid_hw,
+            valid_hw=valid_hw, ref_grid=ref_grid,
         )
 
     return predict_step

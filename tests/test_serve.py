@@ -157,6 +157,64 @@ class TestScorer:
         assert got_cast.shape == want.shape
         np.testing.assert_allclose(got_cast, want, atol=5e-3)
 
+    def test_mixed_aspect_query(self, ws, server):
+        """A query whose post-resize shape differs from the references' must
+        serve against the one cached token set: the reference PE interpolates
+        to the REFERENCE grid (ref_grid), the query PE to its own — the
+        daemon's 'new aspect ratio pays one compile' promise. Pinned against
+        the jitted cached step with an explicit ref_grid."""
+        import jax
+
+        from crossscore_tpu.io.images import image_read
+        from crossscore_tpu.train.step import make_predict_step_cached
+
+        _, scorer = server
+        q_dir, _ = _dirs(ws)
+        img = image_read(os.path.join(q_dir, sorted(os.listdir(q_dir))[0]))
+        tall = img[:, :60]  # 84x60 -> resize short 60->84: 117x84 -> trim 112x84
+        res = scorer.score(tall)
+        assert (res["height"], res["width"]) == (112, 84)  # != refs' (84, 112)
+        assert res["score_map"].shape == (112, 84)
+
+        q = scorer._preprocess(tall)[None].astype(np.float32)
+        want = np.asarray(
+            jax.jit(
+                make_predict_step_cached(scorer.model), static_argnames=("ref_grid",)
+            )(scorer.params, q, scorer.tokens, ref_grid=scorer._ref_grid)[
+                "score_map_ref_cross"
+            ][0],
+            np.float32,
+        )
+        np.testing.assert_array_equal(res["score_map"], want)
+
+    def test_ref_grid_guards(self, ws, server):
+        """Model-level guard rails for the cached mixed-aspect path."""
+        import jax
+        import pytest as _pytest
+
+        _, scorer = server
+        q = np.zeros((1, 56, 70, 3), np.float32)
+        with _pytest.raises(ValueError, match="pass ref_grid"):
+            # 56x70 query grid (4x5=20 patches) != cached 6x8=48 patches
+            scorer.model.apply(
+                {"params": scorer.params}, q, None, ref_tokens=scorer.tokens
+            )
+        with _pytest.raises(ValueError, match="reference grid"):
+            scorer.model.apply(
+                {"params": scorer.params}, q, None, ref_tokens=scorer.tokens,
+                ref_grid=(7, 7),  # wrong factorisation of 48
+            )
+        with _pytest.raises(ValueError, match="only meaningful"):
+            imgs = np.zeros((1, 2, 56, 70, 3), np.float32)
+            scorer.model.apply(
+                {"params": scorer.params}, q, imgs, ref_grid=(4, 5)
+            )
+        with _pytest.raises(ValueError, match="grids to match"):
+            scorer.model.apply(
+                {"params": scorer.params}, q, None, ref_tokens=scorer.tokens,
+                ref_grid=scorer._ref_grid, valid_hw=jax.numpy.array([56, 70]),
+            )
+
     def test_one_compile_per_shape(self, ws, server):
         """Repeat queries at a seen shape must not grow the compiled set."""
         _, scorer = server
