@@ -402,3 +402,65 @@ class TestHTTP:
             urllib.request.urlopen(req)
         assert e.value.code == 400
         assert "error" in json.loads(e.value.read())
+
+
+class TestClient:
+    """crossscore_tpu/client.py — the programmatic counterpart of the HTTP
+    surface (stdlib transport, array/bytes/path inputs, npy/png map fetch,
+    typed server errors)."""
+
+    def _client(self, srv):
+        from crossscore_tpu.client import ScoreClient
+
+        host, port = srv.server_address[:2]
+        return ScoreClient(f"http://{host}:{port}")
+
+    def test_health_and_score_inputs_agree(self, ws, server):
+        from crossscore_tpu.io.images import image_read
+
+        srv, scorer = server
+        c = self._client(srv)
+        assert c.health()["status"] == "ok"
+
+        q_dir, _ = _dirs(ws)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        want = scorer.score_path(p)["mean_score"]
+        by_path = c.score(p)["mean_score"]
+        by_bytes = c.score(open(p, "rb").read())["mean_score"]
+        by_array = c.score(image_read(p))["mean_score"]  # re-encoded PNG
+        assert by_path == pytest.approx(want, abs=1e-6)
+        assert by_bytes == by_path
+        # float->uint8->PNG roundtrip of the synthetic (8-bit-born) image is
+        # lossless, so the array input scores identically too
+        assert by_array == pytest.approx(by_path, abs=1e-6)
+
+    def test_score_map_and_png(self, ws, server):
+        import io as _io
+
+        from PIL import Image
+
+        srv, scorer = server
+        c = self._client(srv)
+        q_dir, _ = _dirs(ws)
+        p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+        got = c.score_map(p)
+        np.testing.assert_array_equal(got, scorer.score_path(p)["score_map"])
+        png = c.score_map_png(p)
+        img = Image.open(_io.BytesIO(png))
+        assert img.size == (112, 84) and np.asarray(img).dtype == np.uint16
+
+    def test_score_paths_order(self, ws, server):
+        srv, _ = server
+        c = self._client(srv)
+        q_dir, _ = _dirs(ws)
+        paths = [os.path.join(q_dir, n) for n in sorted(os.listdir(q_dir))[:2]]
+        res = c.score_paths(paths)
+        assert [x["path"] for x in res] == paths
+
+    def test_server_error_is_typed(self, server):
+        from crossscore_tpu.client import ScoreClientError
+
+        srv, _ = server
+        c = self._client(srv)
+        with pytest.raises(ScoreClientError, match="score_path needs"):
+            c.score_paths([])
