@@ -100,13 +100,20 @@ def save_artifact(path: str | Path, entries: dict[str, dict], meta: dict | None 
     tmp.replace(p)
 
 
-def load_artifact(path: str | Path, expect_meta: dict | None = None) -> tuple[dict, dict[str, Callable]]:
-    """Load + verify; returns (meta, {key: callable}).
+def load_artifact(path: str | Path, expect_meta: dict | None = None,
+                  with_entries: bool = False):
+    """Load + verify; returns (meta, {key: callable}) — or, with
+    ``with_entries=True``, (meta, fns, {key: raw entry}).
 
     ``expect_meta``: caller-side invariants (e.g. params signature, token
     shape) checked against the recorded meta — a mismatch raises ValueError
     naming the offending field, so an operator pointing a daemon at the
     wrong artifact gets a diagnosis, not a shape error mid-request.
+
+    ``with_entries``: also return the raw serialized entries. Deserialized
+    executables cannot re-serialize, so a caller that wants to re-export
+    (extend an artifact with newly warmed graphs and save the union) must
+    carry the original entries through.
     """
     with open(path, "rb") as f:
         blob = pickle.load(f)
@@ -127,4 +134,6 @@ def load_artifact(path: str | Path, expect_meta: dict | None = None) -> tuple[di
                 f"serving configuration ({want!r})"
             )
     fns = {key: load_entry(e) for key, e in blob["entries"].items()}
+    if with_entries:
+        return meta, fns, blob["entries"]
     return meta, fns

@@ -175,6 +175,10 @@ class Scorer:
         # loaded from an AOT artifact (io/aot.py)
         self._compiled: dict[tuple[int, int, int], object] = {}
         self._aot_keys: set[tuple[int, int, int]] = set()
+        # raw artifact entries kept so aot_load + aot_save composes: a node
+        # can extend an artifact (e.g. warm one new shape) and re-export the
+        # union — deserialized executables can't re-serialize themselves
+        self._aot_raw: dict[tuple[int, int, int], dict] = {}
         self.compiled_shapes: list[tuple[int, int, int]] = []  # (h, w, bucket)
         self.n_requests = 0
         self.n_dispatches = 0
@@ -184,18 +188,20 @@ class Scorer:
         if aot_load:
             from crossscore_tpu.io.aot import load_artifact, params_signature
 
-            _, fns = load_artifact(
+            _, fns, raw = load_artifact(
                 aot_load,
                 expect_meta={
                     "token_shape": tuple(self.token_shape),
                     "params_signature": params_signature(self.params),
                     "in_dtype": str(np.dtype(self._in_dtype)),
                 },
+                with_entries=True,
             )
             for key_s, fn in fns.items():
                 h, w, b = (int(x) for x in key_s.replace("xb", "x").split("x"))
                 self._compiled[(h, w, b)] = fn
                 self._aot_keys.add((h, w, b))
+                self._aot_raw[(h, w, b)] = raw[key_s]
                 self.compiled_shapes.append((h, w, b))
             print(f"serve: loaded {len(fns)} AOT-compiled graphs from {aot_load}",
                   flush=True)
@@ -246,10 +252,17 @@ class Scorer:
             )
 
             try:
+                # fresh compiles serialize; graphs that CAME from an artifact
+                # re-export their original raw entry (deserialized executables
+                # can't re-serialize) — so load + save composes: a node can
+                # warm new shapes and write the union back
                 entries = {
-                    f"{h}x{w}xb{b}": serialize_compiled(c)
+                    f"{h}x{w}xb{b}": (
+                        self._aot_raw[(h, w, b)]
+                        if (h, w, b) in self._aot_keys
+                        else serialize_compiled(c)
+                    )
                     for (h, w, b), c in self._compiled.items()
-                    if (h, w, b) not in self._aot_keys  # loaded fns can't re-serialize
                 }
                 save_artifact(
                     aot_save,

@@ -224,3 +224,52 @@ class TestServeAOT:
         serve(cfg)  # returns instead of serve_forever
         assert art.exists()
         assert "warmup-only done" in capsys.readouterr().out
+
+    def test_load_then_save_reexports_the_union(self, ws, tmp_path):
+        """aot_load + aot_save composes: a node that loads an artifact and
+        warms one NEW shape exports the union — loaded graphs re-export their
+        original raw entries (deserialized executables can't re-serialize),
+        fresh compiles serialize normally."""
+        from crossscore_tpu.io.aot import load_artifact
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+
+        _, ref_dir = _dirs(ws)
+        a1, a2 = tmp_path / "v1.aot", tmp_path / "v2.aot"
+        base = OVERRIDES + [f"data.dataset.reference_dir={ref_dir}"]
+        Scorer(parse_cli("default_predict", base + [f"this_main.serve_aot_save={a1}"]))
+
+        extender = Scorer(
+            parse_cli(
+                "default_predict",
+                base
+                + [
+                    f"this_main.serve_aot_load={a1}",
+                    "this_main.serve_warm_shapes=[56x70]",
+                    f"this_main.serve_aot_save={a2}",
+                ],
+            )
+        )
+        assert (56, 70, 1) in extender._compiled
+        meta1, fns1 = load_artifact(a1)
+        meta2, fns2 = load_artifact(a2)
+        assert set(fns1.keys()) < set(fns2.keys())  # strict superset
+        assert "56x70xb1" in fns2
+        assert meta2["token_shape"] == meta1["token_shape"]
+
+        # a third node starts from the extended artifact alone and serves
+        # both shapes without growing its compiled set
+        node = Scorer(
+            parse_cli(
+                "default_predict",
+                base
+                + [
+                    f"this_main.serve_aot_load={a2}",
+                    "this_main.serve_warm_shapes=[56x70]",
+                ],
+            )
+        )
+        before = set(node._compiled.keys())
+        assert before == {(84, 112, 1), (56, 70, 1)}
+        node._run_device(np.zeros((1, 56, 70, 3), np.float32), want_map=False)
+        assert set(node._compiled.keys()) == before
