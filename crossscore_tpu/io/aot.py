@@ -16,6 +16,10 @@ message on mismatch — callers fall back to ordinary jit compilation.
 Format: one pickled dict (version-tagged). Entries hold the bytes from
 ``jax.experimental.serialize_executable`` keyed by an opaque string the
 caller chooses (the serving daemon uses ``"{h}x{w}xb{bucket}"``).
+
+Trust model: artifacts are pickle (as is jax's own executable serialization)
+and deserialization executes code — load only operator-controlled files from
+the deployment's own exporter, never user uploads.
 """
 
 from __future__ import annotations
