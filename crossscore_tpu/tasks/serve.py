@@ -170,6 +170,14 @@ class Scorer:
 
         self._step = jax.jit(_fwd)
         self._lock = threading.Lock()
+        # local data parallelism: on a multi-chip host, padded micro-batches
+        # shard over the local chips (host-local mesh — the DDP-predict
+        # semantics of parallel.local_batch_sharding); params + tokens are
+        # replicated once per mesh size and cached. Per-item math is
+        # independent along the batch dim, so results match device-0 serving.
+        self._serve_dp = bool(cfg.this_main.get("serve_local_dp", True))
+        self._n_local = len(jax.local_devices())
+        self._placed: dict[int, tuple] = {}  # n_shards -> (params, tokens)
         # explicit per-(h, w, bucket) executables (lower+compile instead of
         # relying on jit's internal cache) so they can be serialized into /
         # loaded from an AOT artifact (io/aot.py)
@@ -305,29 +313,64 @@ class Scorer:
         img = img[: h - h % 14, : w - w % 14]
         return normalize_imagenet(img).astype(np.float32)
 
+    def _placement(self, bucket: int):
+        """(q_sharding, params, tokens) for a bucket: batch-sharded over the
+        local chips when local DP applies, else None (single-device path).
+        Replicated params/tokens are placed once per mesh size and cached
+        (invalidated by :meth:`reload`)."""
+        if not self._serve_dp or self._n_local == 1 or bucket == 1:
+            return None
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from crossscore_tpu.parallel.mesh import local_batch_sharding
+
+        shard = local_batch_sharding(bucket)
+        n_dev = int(shard.mesh.devices.size)
+        if n_dev == 1:
+            return None
+        if n_dev not in self._placed:
+            repl = NamedSharding(shard.mesh, P())
+            self._placed[n_dev] = (
+                jax.device_put(self.params, repl),
+                jax.device_put(self.tokens, repl),
+            )
+        params, tokens = self._placed[n_dev]
+        return shard, params, tokens
+
     def _run_device(self, qs: np.ndarray, want_map: bool):
         """One padded device dispatch for (n, H, W, 3) preprocessed queries.
         Returns (maps-or-None, means) for the n rows."""
+        import jax
+
         n = len(qs)
         bucket = min(b for b in self._buckets if b >= n)
         if n < bucket:
             qs = np.concatenate([qs, np.broadcast_to(qs[-1:], (bucket - n, *qs.shape[1:]))])
         qs = np.asarray(qs, self._in_dtype)
         key = (int(qs.shape[1]), int(qs.shape[2]), bucket)
+        placed = self._placement(bucket)
+        params, tokens = (self.params, self.tokens) if placed is None else placed[1:]
 
         def _compile():
-            import jax
-
             print(f"serve: compiling query shape {key[:2]} bucket={bucket} "
                   f"({len(self.compiled_shapes)} cached)", flush=True)
-            avals = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                (self.params, qs, self.tokens),
-            )
-            return self._step.lower(*avals).compile()
+
+            def aval(x, s=None):
+                # in the DP path the placed arrays carry their NamedSharding;
+                # the lowered graph must pin it or the executable would expect
+                # different input placements than we feed it
+                if s is None and placed is not None:
+                    s = getattr(x, "sharding", None)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+            q_aval = aval(qs, None if placed is None else placed[0])
+            p_avals = jax.tree_util.tree_map(aval, params)
+            return self._step.lower(p_avals, q_aval, aval(tokens)).compile()
 
         def _execute(fn):
-            map_dev, mean_dev = fn(self.params, qs, self.tokens)
+            q_dev = qs if placed is None else jax.device_put(qs, placed[0])
+            map_dev, mean_dev = fn(params, q_dev, tokens)
             means = np.asarray(mean_dev[:n], np.float32)  # small fetch = sync barrier
             maps = np.asarray(map_dev[:n], np.float32) if want_map else None
             return maps, means
@@ -476,6 +519,7 @@ class Scorer:
             self.params = params
             self.tokens = jax.device_put(tokens)
             self.ckpt_path = ckpt_path
+            self._placed.clear()  # re-replicate on next sharded dispatch
         return {
             "status": "reloaded",
             "ckpt": str(ckpt_path),
@@ -497,6 +541,8 @@ class Scorer:
             "max_batch_seen": self.max_batch_seen,
             "restart_warm_disk_hits": self.disk_hits,
             "aot_shapes": len(self._aot_keys),
+            "local_devices": self._n_local,
+            "local_dp_meshes": sorted(self._placed),
             "backend": jax.default_backend(),
         }
 

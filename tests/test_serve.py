@@ -464,3 +464,53 @@ class TestClient:
         c = self._client(srv)
         with pytest.raises(ScoreClientError, match="score_path needs"):
             c.score_paths([])
+
+
+class TestLocalDP:
+    """Local data parallelism: padded micro-batches shard over the host's
+    chips (the 8-device CPU mesh here); per-item results match the
+    single-device daemon, and reload invalidates the replicated placements."""
+
+    def _scorer(self, ws, extra):
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+
+        _, ref_dir = _dirs(ws)
+        return Scorer(
+            parse_cli(
+                "default_predict",
+                OVERRIDES
+                + [f"data.dataset.reference_dir={ref_dir}", "this_main.serve_max_batch=4"]
+                + extra,
+            )
+        )
+
+    def test_dp_matches_single_device(self, ws):
+        from crossscore_tpu.io.images import image_read
+
+        dp = self._scorer(ws, [])
+        sd = self._scorer(ws, ["this_main.serve_local_dp=false"])
+        assert dp._n_local == 8
+        assert sorted(dp._placed) == [2, 4]  # buckets 2 and 4 replicated
+        assert sd._placed == {}
+
+        q_dir, _ = _dirs(ws)
+        frames = [os.path.join(q_dir, n) for n in sorted(os.listdir(q_dir))[:3]]
+        qs = np.stack([dp._preprocess(image_read(p)) for p in frames])
+        maps_dp, means_dp = dp._run_device(qs, want_map=True)     # bucket 4, 2 rows/chip... clamped
+        maps_sd, means_sd = sd._run_device(qs, want_map=True)
+        np.testing.assert_allclose(means_dp, means_sd, atol=1e-6)
+        np.testing.assert_allclose(maps_dp, maps_sd, atol=1e-5)
+        assert dp.health()["local_dp_meshes"] == [2, 4]
+
+    def test_reload_invalidates_placements(self, ws, tmp_path):
+        from crossscore_tpu.io.checkpoint import save_params
+
+        dp = self._scorer(ws, [])
+        assert dp._placed
+        save_params(tmp_path / "A", dp.params)
+        dp.reload(str(tmp_path / "A"))
+        assert dp._placed == {}
+        # next sharded dispatch re-replicates the reloaded weights
+        dp._run_device(np.zeros((2, 84, 112, 3), np.float32), want_map=False)
+        assert 2 in dp._placed
