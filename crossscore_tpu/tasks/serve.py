@@ -316,8 +316,11 @@ class Scorer:
     def _placement(self, bucket: int):
         """(q_sharding, params, tokens) for a bucket: batch-sharded over the
         local chips when local DP applies, else None (single-device path).
-        Replicated params/tokens are placed once per mesh size and cached
-        (invalidated by :meth:`reload`)."""
+        Replicated params/tokens are placed once per mesh size and cached.
+        MUST be called under ``self._lock``: each cache entry records the
+        params object it was placed from, so a hot reload concurrent with a
+        dispatch can never resurrect stale weights (the entry is rebuilt when
+        its source ``self.params`` no longer matches)."""
         if not self._serve_dp or self._n_local == 1 or bucket == 1:
             return None
         import jax
@@ -329,14 +332,16 @@ class Scorer:
         n_dev = int(shard.mesh.devices.size)
         if n_dev == 1:
             return None
-        if n_dev not in self._placed:
+        entry = self._placed.get(n_dev)
+        if entry is None or entry[0] is not self.params:
             repl = NamedSharding(shard.mesh, P())
-            self._placed[n_dev] = (
+            entry = (
+                self.params,
                 jax.device_put(self.params, repl),
                 jax.device_put(self.tokens, repl),
             )
-        params, tokens = self._placed[n_dev]
-        return shard, params, tokens
+            self._placed[n_dev] = entry
+        return shard, entry[1], entry[2]
 
     def _run_device(self, qs: np.ndarray, want_map: bool):
         """One padded device dispatch for (n, H, W, 3) preprocessed queries.
@@ -349,8 +354,6 @@ class Scorer:
             qs = np.concatenate([qs, np.broadcast_to(qs[-1:], (bucket - n, *qs.shape[1:]))])
         qs = np.asarray(qs, self._in_dtype)
         key = (int(qs.shape[1]), int(qs.shape[2]), bucket)
-        placed = self._placement(bucket)
-        params, tokens = (self.params, self.tokens) if placed is None else placed[1:]
 
         def _compile():
             print(f"serve: compiling query shape {key[:2]} bucket={bucket} "
@@ -376,6 +379,11 @@ class Scorer:
             return maps, means
 
         with self._lock:
+            # placement + weight capture live under the lock so a concurrent
+            # hot reload can neither interleave params/tokens from different
+            # checkpoints nor leave a stale replicated copy in the cache
+            placed = self._placement(bucket)
+            params, tokens = (self.params, self.tokens) if placed is None else placed[1:]
             fn = self._compiled.get(key)
             if fn is None:
                 fn = self._compiled[key] = _compile()

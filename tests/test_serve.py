@@ -514,3 +514,16 @@ class TestLocalDP:
         # next sharded dispatch re-replicates the reloaded weights
         dp._run_device(np.zeros((2, 84, 112, 3), np.float32), want_map=False)
         assert 2 in dp._placed
+
+    def test_stale_placement_rebuilt_by_identity(self, ws):
+        """The placement cache records the params object it was built from —
+        a weight swap that bypasses reload's clear (the race window) is still
+        caught at dispatch time and re-replicated."""
+        import jax
+
+        dp = self._scorer(ws, [])
+        old_entry = dp._placed[2]
+        dp.params = jax.tree_util.tree_map(lambda x: x, dp.params)  # new tree object
+        dp._run_device(np.zeros((2, 84, 112, 3), np.float32), want_map=False)
+        assert dp._placed[2][0] is dp.params
+        assert dp._placed[2] is not old_entry
