@@ -112,6 +112,8 @@ class CrossScoreNet(nn.Module):
         valid_hw=None,
         ref_tokens: Optional[jnp.ndarray] = None,
         ref_grid: Optional[tuple] = None,
+        query_tokens: Optional[jnp.ndarray] = None,
+        token_grid: Optional[tuple] = None,
     ) -> dict:
         """
         :param query_img: (B, H, W, 3) ImageNet-normalised (or [0,1] raw with
@@ -140,6 +142,15 @@ class CrossScoreNet(nn.Module):
             view's OWN grid (reference model adds PE per view,
             task/core.py:87-98 — its views always share one shape, so this
             axis never appears there).
+        :param query_tokens: optional precomputed QUERY backbone tokens
+            (B, N_patch, D) — the decoder-only graph: with ``ref_tokens`` this
+            skips the frozen backbone entirely. The token-space training path
+            (``train/token_train``) feeds it crops sliced from full-image
+            token grids; exactness vs encoding the same tokens in-graph is
+            pinned in tests. Requires ``ref_tokens`` + ``token_grid``; pass
+            ``query_img=None``.
+        :param token_grid: static (gh, gw) patch grid of ``query_tokens``
+            (the output score map is (B, gh*patch, gw*patch)).
         :return: dict with ``score_map_ref_cross`` (B, H, W) and optionally
                  ``attn_weights_map_ref_cross`` (B, gh, gw, K, gh, gw)
         """
@@ -156,7 +167,28 @@ class CrossScoreNet(nn.Module):
             query_img = (query_img - mean) / std
             if ref_imgs is not None:
                 ref_imgs = (ref_imgs - mean) / std
-        b, hgt, wdt, _ = query_img.shape
+        if query_tokens is not None:
+            if ref_tokens is None or token_grid is None:
+                raise ValueError(
+                    "query_tokens (the decoder-only graph) requires ref_tokens "
+                    "and a static token_grid=(gh, gw)"
+                )
+            if query_img is not None:
+                raise ValueError("pass query_img or query_tokens, not both")
+            if valid_hw is not None:
+                raise ValueError(
+                    "bucket masking (valid_hw) is pixel-space; token inputs "
+                    "must be pre-sliced to their valid grid instead"
+                )
+            if token_grid[0] * token_grid[1] != query_tokens.shape[1]:
+                raise ValueError(
+                    f"query_tokens carry {query_tokens.shape[1]} patches but "
+                    f"token_grid is {tuple(token_grid)}"
+                )
+            b = query_tokens.shape[0]
+            hgt, wdt = token_grid[0] * c.patch_size, token_grid[1] * c.patch_size
+        else:
+            b, hgt, wdt, _ = query_img.shape
         p = c.patch_size
         gh, gw = hgt // p, wdt // p
         n_patch = gh * gw
@@ -221,24 +253,31 @@ class CrossScoreNet(nn.Module):
 
         # cp:<axis> is decoder-cross-attention-only; the backbone always runs
         # local attention (its views are whole per-chip under view parallelism)
-        backbone_impl = "pallas" if c.attention_impl.startswith("cp:") else c.attention_impl
-        tokens = Dinov2Encoder(
-            c.backbone,
-            dtype=dt,
-            remat=c.remat_backbone,
-            attention_impl=backbone_impl,
-            quant=c.backbone_quant,
-            mlp_impl=c.mlp_impl,
-            name="backbone",
-        )(all_imgs, enc_valid_grid)
-        tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone
-        if ref_tokens is not None:
-            q_tok = tokens
+        if query_tokens is not None:
+            # decoder-only graph: both sides arrive as frozen-backbone tokens
+            # (token-space training / fully-cached serving); the backbone
+            # submodule is never constructed, its params stay untouched
+            q_tok = jax.lax.stop_gradient(query_tokens.astype(dt))
             r_tok = ref_tokens.astype(dt)
         else:
-            # grouped order: first B rows are the queries, the rest the refs
-            q_tok = tokens[:b]
-            r_tok = tokens[b:].reshape(b, k_ref, n_patch, d) if k_ref else None
+            backbone_impl = "pallas" if c.attention_impl.startswith("cp:") else c.attention_impl
+            tokens = Dinov2Encoder(
+                c.backbone,
+                dtype=dt,
+                remat=c.remat_backbone,
+                attention_impl=backbone_impl,
+                quant=c.backbone_quant,
+                mlp_impl=c.mlp_impl,
+                name="backbone",
+            )(all_imgs, enc_valid_grid)
+            tokens = jax.lax.stop_gradient(tokens[:, 1:])  # strip CLS; frozen backbone
+            if ref_tokens is not None:
+                q_tok = tokens
+                r_tok = ref_tokens.astype(dt)
+            else:
+                # grouped order: first B rows are the queries, the rest the refs
+                q_tok = tokens[:b]
+                r_tok = tokens[b:].reshape(b, k_ref, n_patch, d) if k_ref else None
 
         pos_enc = MultiViewPositionalEmbedding(c.pe_h, c.pe_w, d, dtype=dt, name="pos_enc")
 

@@ -74,17 +74,34 @@ def _weights(batch, shape) -> "jnp.ndarray | None":
 
 def loss_fn(model: CrossScoreNet, params, batch):
     valid_hw = batch.get("_valid_hw")
-    out = model.apply(
-        {"params": params},
-        batch["query/img"],
-        batch.get("reference/cross/imgs"),
-        # cached-reference eval (tasks/test.py + data/token_cache.py): the
-        # batch carries precomputed reference tokens instead of pixels
-        ref_tokens=batch.get("reference/cross/tokens"),
-        # (2,) shared or (B, 2) per-item; the model branches on ndim
-        valid_hw=None if valid_hw is None
-        else (valid_hw if jnp.ndim(valid_hw) == 2 else (valid_hw[0], valid_hw[1])),
-    )
+    q_tokens = batch.get("query/tokens")
+    if q_tokens is not None:
+        # token-space training (data/token_train.py): both sides arrive as
+        # frozen-backbone tokens sliced from full-image grids — the step is
+        # the decoder-only graph. The grid is static under jit (score-map
+        # crops have a fixed shape).
+        gt_shape = batch["query/score_map"].shape
+        p = model.cfg.patch_size
+        out = model.apply(
+            {"params": params},
+            None,
+            None,
+            ref_tokens=batch["reference/cross/tokens"],
+            query_tokens=q_tokens,
+            token_grid=(gt_shape[1] // p, gt_shape[2] // p),
+        )
+    else:
+        out = model.apply(
+            {"params": params},
+            batch["query/img"],
+            batch.get("reference/cross/imgs"),
+            # cached-reference eval (tasks/test.py + data/token_cache.py): the
+            # batch carries precomputed reference tokens instead of pixels
+            ref_tokens=batch.get("reference/cross/tokens"),
+            # (2,) shared or (B, 2) per-item; the model branches on ndim
+            valid_hw=None if valid_hw is None
+            else (valid_hw if jnp.ndim(valid_hw) == 2 else (valid_hw[0], valid_hw[1])),
+        )
     pred = out["score_map_ref_cross"]
     gt = batch["query/score_map"]
     l1 = jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32))
