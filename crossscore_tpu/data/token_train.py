@@ -1,0 +1,141 @@
+"""Token-space training: encode full images ONCE, crop in token space.
+
+The frozen backbone is ~57% of the production train step and its kernels are
+at their measured floors (PERFORMANCE.md) — the remaining lever changes the
+math. Since the backbone is frozen, a full image's token grid is a constant
+of the dataset: encode each unique image once (LRU + optional disk store,
+``data/token_cache.py``), then sample training crops as PATCH-ALIGNED windows
+of the token grid instead of re-encoding pixel crops every step. After the
+first epoch the train step is the decoder-only graph
+(``models/crossscore.py`` ``query_tokens``) — the (1+K) x B backbone forwards
+per step disappear.
+
+SEMANTIC DELTA vs the reference (opt-in, ``this_main.token_space_train``):
+
+- a token's attention context is the FULL image, not the crop (the reference
+  encodes the crop, reference ``task/core.py:119-161``);
+- crop offsets are 14px-aligned, so offset diversity is 196x coarser than
+  the reference's per-pixel ``crop.py:19-23`` sampling.
+
+Supervision is unchanged (score-map crops follow the query window exactly).
+The gradient path and optimisation problem are otherwise identical —
+pinned by tests/test_token_train.py; convergence by the overfit tests/tool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from crossscore_tpu.data.loader import Loader, _fold_rng
+
+# independent RNG stream for window sampling: the dataset's own per-item
+# stream (seed, epoch, idx) already drives neighbour sampling inside
+# get_item; reusing it here would correlate windows with reference choices
+_WINDOW_SEED_OFFSET = 7919
+
+
+def aligned_window(
+    full_grid: tuple[int, int],
+    crop_grid: tuple[int, int],
+    rng: np.random.Generator,
+    deterministic: bool = False,
+) -> tuple[int, int]:
+    """Top-left (i, j) of a crop window in PATCH units. Deterministic mode is
+    the top-left corner (the reference's rule, ``crop.py:19-23``)."""
+    gh, gw = full_grid
+    ch, cw = crop_grid
+    if gh < ch or gw < cw:
+        raise ValueError(f"crop grid {crop_grid} larger than image grid {full_grid}")
+    if deterministic:
+        return 0, 0
+    return int(rng.integers(0, gh - ch + 1)), int(rng.integers(0, gw - cw + 1))
+
+
+def crop_token_grid(
+    tokens: np.ndarray, grid: tuple[int, int], ij: tuple[int, int], crop_grid: tuple[int, int]
+) -> np.ndarray:
+    """Slice a (..., gh*gw, D) token array to the (ch*cw, D) window at ij."""
+    gh, gw = grid
+    ch, cw = crop_grid
+    i, j = ij
+    t = tokens.reshape(*tokens.shape[:-2], gh, gw, tokens.shape[-1])
+    t = t[..., i : i + ch, j : j + cw, :]
+    return np.ascontiguousarray(t.reshape(*tokens.shape[:-2], ch * cw, tokens.shape[-1]))
+
+
+class TokenSpaceLoader(Loader):
+    """Loader whose batches carry token crops instead of pixel crops.
+
+    Wraps a dataset configured WITHOUT pixel cropping (``crop_mode=
+    "integer_patches"`` + ``return_item_paths=True`` so items are full
+    %14-trimmed images with their paths). Workers decode full images; this
+    hook encodes cache misses through the frozen backbone (overlapped with
+    training — it runs on the producer thread) and slices aligned windows:
+
+    - query window == score-map window (reference ``RandomCropperBatchSame``)
+    - one independent window per reference view (``...BatchSeparate``)
+
+    Output batch keys: ``query/tokens`` (B, ch*cw, D), ``reference/cross/
+    tokens`` (B, K, ch*cw, D), ``query/score_map`` (B, ch*14, cw*14).
+    """
+
+    def __init__(self, dataset, cache, crop_size: int, patch: int = 14,
+                 deterministic_crop: bool = False, **kw):
+        if getattr(dataset, "query_crop", None) is not None:
+            raise ValueError(
+                "TokenSpaceLoader needs an uncropped dataset "
+                "(crop_mode='integer_patches'); it crops in token space"
+            )
+        if not getattr(dataset, "return_item_paths", False):
+            raise ValueError("TokenSpaceLoader needs return_item_paths=true")
+        if crop_size % patch:
+            raise ValueError(f"crop_size {crop_size} must be a multiple of {patch}")
+        super().__init__(dataset, **kw)
+        self.cache = cache
+        self.patch = patch
+        self.crop_grid = (crop_size // patch, crop_size // patch)
+        self.deterministic_crop = deterministic_crop
+
+    def _plan(self, epoch: int) -> list:
+        return [
+            (chunk, n_valid, {"epoch": epoch, "indices": chunk})
+            for chunk, n_valid, _ in super()._plan(epoch)
+        ]
+
+    def _finalize(self, batch: dict, extra) -> dict:
+        q = batch["query/img"]          # (B, H, W, 3) normalised full images
+        sm = batch["query/score_map"]   # (B, H, W)
+        refs = batch["reference/cross/imgs"]  # (B, K, H, W, 3)
+        paths = batch["item_paths"]
+        b, k = refs.shape[:2]
+        p = self.patch
+        full_grid = (q.shape[1] // p, q.shape[2] // p)
+        ch, cw = self.crop_grid
+
+        # full-image tokens, encoded once per unique (path, shape) — the
+        # cache layout is [k][b] (the collated item_paths layout)
+        q_tok_full = self.cache.gather([list(paths["query/img"])], q[:, None])[:, 0]
+        r_tok_full = self.cache.gather(paths["reference/cross/imgs"], refs)
+
+        # per-item windows: indices may repeat under pad_last (duplicated
+        # final items) — identical rng -> identical windows -> the _valid
+        # masking sees true duplicates, as in the pixel path
+        idxs = list(extra["indices"]) + [extra["indices"][-1]] * (b - len(extra["indices"]))
+        q_toks = np.empty((b, ch * cw, q_tok_full.shape[-1]), q_tok_full.dtype)
+        r_toks = np.empty((b, k, ch * cw, r_tok_full.shape[-1]), r_tok_full.dtype)
+        sm_crops = np.empty((b, ch * p, cw * p), sm.dtype)
+        for bb in range(b):
+            rng = _fold_rng(self.seed + _WINDOW_SEED_OFFSET, extra["epoch"], int(idxs[bb]))
+            i, j = aligned_window(full_grid, self.crop_grid, rng, self.deterministic_crop)
+            q_toks[bb] = crop_token_grid(q_tok_full[bb], full_grid, (i, j), self.crop_grid)
+            sm_crops[bb] = sm[bb, i * p : (i + ch) * p, j * p : (j + cw) * p]
+            for kk in range(k):
+                ij = aligned_window(full_grid, self.crop_grid, rng, self.deterministic_crop)
+                r_toks[bb, kk] = crop_token_grid(
+                    r_tok_full[bb, kk], full_grid, ij, self.crop_grid
+                )
+        return {
+            "query/tokens": q_toks,
+            "reference/cross/tokens": r_toks,
+            "query/score_map": sm_crops,
+        }

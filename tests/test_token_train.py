@@ -124,3 +124,160 @@ class TestDecoderOnlyGraph:
             model.apply({"params": params}, None, None, ref_tokens=r_tok,
                         query_tokens=q_tok, token_grid=(4, 5),
                         valid_hw=jnp.asarray([56, 70]))
+
+
+# ---------------------------------------------------------------- stage 2
+
+from crossscore_tpu.data.synthetic import generate  # noqa: E402
+from crossscore_tpu.data.token_train import (  # noqa: E402
+    _WINDOW_SEED_OFFSET, TokenSpaceLoader, aligned_window, crop_token_grid,
+)
+
+
+@pytest.fixture(scope="module")
+def token_ws(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tokdata")
+    generate(root, hw=(84, 112), scenes_per_split={"train": 2, "val": 1, "test": 1})
+    return root
+
+
+def _uncropped_ds(root, deterministic=False):
+    from crossscore_tpu.data import NvsDataset
+
+    return NvsDataset(
+        dataset_path=str(root),
+        resolution="res_540",
+        data_split="train",
+        neighbour_config={"strategy": "random", "cross": 2, "deterministic": deterministic},
+        metric_type="ssim",
+        metric_min=0,
+        metric_max=1,
+        crop_size=None,
+        crop_mode="integer_patches",
+        return_item_paths=True,
+    )
+
+
+def _token_loader(setup, root, crop=56, batch_size=3, **kw):
+    from crossscore_tpu.data.token_cache import RefTokenCache
+
+    cfg, model, params, _, _ = setup
+    encode = jax.jit(make_backbone_encoder(cfg))
+    cache = RefTokenCache(lambda imgs, valid_hw=None: encode(params, imgs), encode_batch=4)
+    return TokenSpaceLoader(
+        _uncropped_ds(root), cache, crop_size=crop,
+        batch_size=batch_size, shuffle=True, num_workers=2, seed=3, **kw
+    ), cache
+
+
+class TestWindowPrimitives:
+    def test_crop_token_grid_matches_manual(self):
+        rng = np.random.default_rng(0)
+        toks = rng.standard_normal((5, 6 * 8, 16)).astype(np.float32)
+        got = crop_token_grid(toks, (6, 8), (2, 3), (3, 4))
+        want = toks.reshape(5, 6, 8, 16)[:, 2:5, 3:7].reshape(5, 12, 16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_aligned_window_bounds_and_determinism(self):
+        rng = np.random.default_rng(0)
+        seen = set()
+        for _ in range(64):
+            i, j = aligned_window((6, 8), (4, 5), rng)
+            assert 0 <= i <= 2 and 0 <= j <= 3
+            seen.add((i, j))
+        assert len(seen) > 3  # actually samples the offset space
+        assert aligned_window((6, 8), (4, 5), rng, deterministic=True) == (0, 0)
+        with pytest.raises(ValueError, match="larger"):
+            aligned_window((3, 8), (4, 5), rng)
+
+
+class TestTokenSpaceLoader:
+    def test_batch_layout_and_correspondence(self, setup, token_ws):
+        """Shapes are the decoder-only batch contract; the score-map crop is
+        the PIXEL window of the query's token window (re-derived from the
+        loader's documented rng stream); ref windows are independent."""
+        from crossscore_tpu.data.loader import _fold_rng
+
+        loader, cache = _token_loader(setup, token_ws)
+        batches = list(loader.epoch(0))
+        assert len(batches) == loader.batches_per_epoch()
+        b0 = batches[0]
+        assert b0["query/tokens"].shape == (3, 16, 64)       # 4x4 grid, D=64
+        assert b0["reference/cross/tokens"].shape == (3, 2, 16, 64)
+        assert b0["query/score_map"].shape == (3, 56, 56)
+
+        # re-derive item 0's window from the documented stream
+        idx0 = int(loader._plan(0)[0][2]["indices"][0])
+        rng = _fold_rng(loader.seed + _WINDOW_SEED_OFFSET, 0, idx0)
+        ds = loader.dataset
+        item = ds.get_item(idx0, _fold_rng(loader.seed, 0, idx0))
+        full_grid = (item["query/img"].shape[0] // 14, item["query/img"].shape[1] // 14)
+        i, j = aligned_window(full_grid, (4, 4), rng)
+        np.testing.assert_array_equal(
+            b0["query/score_map"][0],
+            item["query/score_map"][i * 14 : i * 14 + 56, j * 14 : j * 14 + 56],
+        )
+        # and the token window is the same window of the full-image tokens
+        q_full = cache.gather(
+            [[item["item_paths"]["query/img"]]],
+            item["query/img"][None, None],
+        )[0, 0]
+        np.testing.assert_array_equal(
+            b0["query/tokens"][0], crop_token_grid(q_full, full_grid, (i, j), (4, 4))
+        )
+
+    def test_deterministic_epoch_reproduces(self, setup, token_ws):
+        loader, _ = _token_loader(setup, token_ws)
+        a = [b["query/tokens"] for b in loader.epoch(1)]
+        b = [b["query/tokens"] for b in loader.epoch(1)]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        c = [b["query/tokens"] for b in loader.epoch(2)]
+        assert any(
+            x.shape != y.shape or not np.array_equal(x, y) for x, y in zip(a, c)
+        )
+
+    def test_cache_warm_after_first_epoch(self, setup, token_ws):
+        loader, cache = _token_loader(setup, token_ws)
+        list(loader.epoch(0))
+        misses_after_e0 = cache.misses
+        assert misses_after_e0 > 0
+        list(loader.epoch(1))
+        assert cache.misses == misses_after_e0  # epoch 2+: pure numpy slicing
+
+    def test_overfit_decreases_loss(self, setup, token_ws):
+        """The decoder-only step TRAINS from token batches end-to-end."""
+        import optax
+
+        from crossscore_tpu.train.step import create_train_state, make_train_step
+
+        cfg, model, params, _, _ = setup
+        loader, _ = _token_loader(setup, token_ws, batch_size=4)
+        batch = next(iter(loader.epoch(0)))
+        batch = {k: v for k, v in batch.items() if k != "_valid"}
+        tx = optax.adamw(3e-3)
+        state = create_train_state(params, tx)
+        step = jax.jit(make_train_step(model, tx))
+        state, m0 = step(state, batch)
+        for _ in range(15):
+            state, m = step(state, batch)
+        assert float(m["loss"]) < 0.7 * float(m0["loss"])
+
+    def test_guards(self, setup, token_ws):
+        from crossscore_tpu.data import NvsDataset
+
+        cfg, model, params, _, _ = setup
+        with pytest.raises(ValueError, match="uncropped"):
+            ds = NvsDataset(
+                dataset_path=str(token_ws), resolution="res_540", data_split="train",
+                neighbour_config={"strategy": "random", "cross": 2, "deterministic": True},
+                metric_type="ssim", metric_min=0, metric_max=1,
+                crop_size=56, crop_mode="dataset_default", return_item_paths=True,
+            )
+            TokenSpaceLoader(ds, None, crop_size=56, batch_size=2)
+        with pytest.raises(ValueError, match="return_item_paths"):
+            ds = _uncropped_ds(token_ws)
+            ds.return_item_paths = False
+            TokenSpaceLoader(ds, None, crop_size=56, batch_size=2)
+        with pytest.raises(ValueError, match="multiple"):
+            TokenSpaceLoader(_uncropped_ds(token_ws), None, crop_size=50, batch_size=2)
