@@ -68,8 +68,18 @@ def train(cfg) -> Path:
     # ------------------------------------------------------------------ data
     overfit = cfg.trainer.overfit_batches
     deterministic_crop = overfit > 0
+    # token-space training (this_main.token_space_train, data/token_train.py):
+    # the train dataset yields FULL %14-trimmed images; the loader encodes
+    # each unique image once through the frozen backbone and slices
+    # patch-aligned token windows — the train step becomes the decoder-only
+    # graph. Opt-in: full-image attention context + 14px-aligned offsets are
+    # a documented semantic delta vs the reference's pixel crops. Validation
+    # stays on the pixel path (parity eval).
+    token_train = bool(cfg.this_main.get("token_space_train", False))
     ds_train = get_dataset(
-        cfg, "train", crop_mode="dataset_default",
+        cfg, "train",
+        crop_mode="integer_patches" if token_train else "dataset_default",
+        return_item_paths=token_train,
         resize_short_side=cfg.this_main.resize_short_side,
         deterministic_crop=deterministic_crop,
     )
@@ -89,8 +99,7 @@ def train(cfg) -> Path:
     mesh = make_mesh(n_dev, batch_size=cfg.data.loader.train.batch_size)
     bsh = batch_sharding(mesh)
 
-    loader_train = Loader(
-        ds_train,
+    train_loader_kw = dict(
         batch_size=cfg.data.loader.train.batch_size,
         shuffle=cfg.data.loader.train.shuffle and overfit == 0,
         num_workers=cfg.data.loader.train.num_workers,
@@ -101,6 +110,28 @@ def train(cfg) -> Path:
         num_shards=jax.process_count(),
         sharding=bsh,
     )
+    if token_train:
+        from crossscore_tpu.data.token_cache import RefTokenCache
+        from crossscore_tpu.data.token_train import TokenSpaceLoader
+
+        # the encoder binds the (frozen) backbone params, which exist only
+        # after model init below — late-bound through this cell; the loader
+        # first encodes inside epoch(), well after the binding
+        _encode_cell: dict = {}
+        token_cache = RefTokenCache(
+            lambda imgs, valid_hw=None: _encode_cell["fn"](imgs),
+            encode_batch=int(cfg.this_main.get("ref_token_cache_encode_batch", 16)),
+            max_items=int(cfg.this_main.get("ref_token_cache_max_items", 2048)),
+            persist_dir=cfg.this_main.get("ref_token_cache_dir"),
+        )
+        loader_train = TokenSpaceLoader(
+            ds_train, token_cache,
+            crop_size=int(cfg.data.transforms.crop_size),
+            deterministic_crop=deterministic_crop,
+            **train_loader_kw,
+        )
+    else:
+        loader_train = Loader(ds_train, **train_loader_kw)
     # the mesh data axis is sized for the TRAIN batch; a val batch size it
     # does not divide falls back to replicated device_put (correct, just not
     # batch-sharded — only reachable with mismatched train/val batch configs)
@@ -201,6 +232,22 @@ def train(cfg) -> Path:
             f"resumed from step {int(state.step)} "
             f"(epoch {start_epoch}, batch {start_batch})"
         )
+
+    if token_train:
+        from functools import partial
+
+        from crossscore_tpu.models.crossscore import make_backbone_encoder
+
+        # bind the token encoder to the POST-RESUME params (a resumed run's
+        # frozen backbone is the original run's, not this process's fresh
+        # init); training never updates the backbone (masked optimizer), so
+        # the bound tokens stay valid for the whole run. COPY the subtree:
+        # train_step donates the state, which would invalidate the original
+        # buffers after the first step
+        _bb_copy = {"backbone": jax.tree_util.tree_map(
+            lambda x: jnp.array(x), state.params["backbone"]
+        )}
+        _encode_cell["fn"] = partial(jax.jit(make_backbone_encoder(mcfg)), _bb_copy)
 
     train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model))
@@ -327,7 +374,10 @@ def train(cfg) -> Path:
             # train-batch figure + score/L1-diff histograms at their cadences,
             # reusing the training forward's prediction (reference
             # task/core.py:312-362 reuses training_step outputs the same way)
-            need_fig = proc0 and global_step % cfg.logger.vis_imgs_every_n_train_steps == 0
+            # token batches carry no pixels to draw; the val-path figures
+            # (pixel pipeline) still cover visual monitoring in token mode
+            need_fig = (proc0 and not token_train
+                        and global_step % cfg.logger.vis_imgs_every_n_train_steps == 0)
             need_hist = proc0 and global_step % cfg.logger.vis_histogram_every_n_train_steps == 0
             if need_fig or need_hist:
                 pred = np.asarray(pred_dev, np.float32)

@@ -281,3 +281,78 @@ class TestTokenSpaceLoader:
             TokenSpaceLoader(ds, None, crop_size=56, batch_size=2)
         with pytest.raises(ValueError, match="multiple"):
             TokenSpaceLoader(_uncropped_ds(token_ws), None, crop_size=50, batch_size=2)
+
+
+# ---------------------------------------------------------------- stage 3
+
+class TestTokenTrainCLI:
+    """this_main.token_space_train=true drives tasks.train end-to-end: the
+    token loader feeds the decoder-only step, validation stays on the pixel
+    path, checkpoints resume."""
+
+    OVERRIDES = [
+        "trainer.accelerator=cpu",
+        "model.tpu.compute_dtype=float32",
+        "model.backbone.preset=dinov2-test",
+        "data.neighbour_config.cross=2",
+        "data.loader.train.batch_size=2",
+        "data.loader.validation.batch_size=2",
+        "data.loader.train.num_workers=2",
+        "data.loader.validation.num_workers=2",
+        "data.transforms.crop_size=56",
+        "this_main.resize_short_side=-1",
+        "this_main.token_space_train=true",
+        "trainer.num_sanity_val_steps=1",
+        "trainer.limit_val_batches=1",
+        "logger.vis_scalar_every_n_train_steps=1",
+    ]
+
+    def test_train_run_and_resume(self, token_ws, tmp_path, monkeypatch):
+        import json
+
+        from crossscore_tpu.tasks.train import main
+
+        monkeypatch.chdir(tmp_path)
+        overrides = self.OVERRIDES + [f"data.dataset.path=[{token_ws}]"]
+        run_dir = main(overrides + ["trainer.max_epochs=1", "alias=tok1"])
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        train_losses = [r["train/loss"] for r in rows if "train/loss" in r]
+        assert train_losses and all(np.isfinite(train_losses))
+        assert any("validation/loss" in r for r in rows)  # pixel-path val ran
+
+        run2 = main(
+            overrides
+            + [
+                "trainer.max_epochs=2",
+                f"trainer.ckpt_path_to_load={run_dir / 'ckpt'}",
+                "alias=tok2",
+            ]
+        )
+        rows2 = [json.loads(l) for l in (run2 / "metrics.jsonl").read_text().splitlines()]
+        steps2 = [r["step"] for r in rows2 if "train/loss" in r]
+        steps1 = [r["step"] for r in rows if "train/loss" in r]
+        assert steps2 and min(steps2) > min(steps1)
+
+    def test_overfit_converges(self, token_ws, tmp_path, monkeypatch):
+        """trainer.overfit_batches under token mode: deterministic windows,
+        loss drops — the token gradient path TRAINS through the CLI."""
+        import json
+
+        from crossscore_tpu.tasks.train import main
+
+        monkeypatch.chdir(tmp_path)
+        run_dir = main(
+            self.OVERRIDES
+            + [
+                f"data.dataset.path=[{token_ws}]",
+                "trainer.overfit_batches=1",
+                "trainer.max_epochs=30",
+                "trainer.num_sanity_val_steps=0",
+                "trainer.limit_val_batches=0",
+                "trainer.optimizer.lr=3e-3",
+                "alias=tokover",
+            ]
+        )
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        losses = [r["train/loss_cross"] for r in rows if "train/loss_cross" in r]
+        assert losses[-1] < 0.5 * losses[0]
