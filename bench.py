@@ -50,13 +50,19 @@ HW = int(os.environ.get("BENCH_HW", 518))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
 CACHED = bool(int(os.environ.get("BENCH_CACHED", "0")))
 TRAIN = bool(int(os.environ.get("BENCH_TRAIN", "0")))
+# BENCH_TRAIN=1 BENCH_TOKENS=1: the TOKEN-SPACE train step (opt-in
+# this_main.token_space_train — decoder-only graph, data/token_train.py);
+# reported separately from the parity-semantics train number.
+TOKENS = bool(int(os.environ.get("BENCH_TOKENS", "0")))
 EXTRAS = bool(int(os.environ.get("BENCH_EXTRAS", "1")))
 
 
-def measure_train() -> dict:
+def measure_train(tokens: bool = False) -> dict:
     """Train-step time: B=24 K=5 518px bf16, chained states and a host scalar
     fetch per timed dispatch (the memoisation-proof discipline from
-    tools/train_microbench.py / PERFORMANCE.md)."""
+    tools/train_microbench.py / PERFORMANCE.md). ``tokens=True`` times the
+    token-space step instead: (1+K) x (B, 1369, 384) precomputed-token inputs
+    through the decoder-only graph (data/token_train.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,27 +79,43 @@ def measure_train() -> dict:
     mcfg = CrossScoreConfig.from_config(cfg)
     model = CrossScoreNet(mcfg)
     rng = np.random.default_rng(time.time_ns())
-    batch = {
-        "query/img": jnp.asarray(rng.standard_normal((batch_size, hw, hw, 3)), jnp.bfloat16),
-        "reference/cross/imgs": jnp.asarray(
-            rng.standard_normal((batch_size, k, hw, hw, 3)), jnp.bfloat16
-        ),
-        "query/score_map": jnp.asarray(rng.random((batch_size, hw, hw)), jnp.float32),
-    }
+    if tokens:
+        n_patch = (hw // mcfg.patch_size) ** 2
+        d = mcfg.backbone.hidden_size
+        batch = {
+            "query/tokens": jnp.asarray(
+                rng.standard_normal((batch_size, n_patch, d)), jnp.bfloat16
+            ),
+            "reference/cross/tokens": jnp.asarray(
+                rng.standard_normal((batch_size, k, n_patch, d)), jnp.bfloat16
+            ),
+            "query/score_map": jnp.asarray(rng.random((batch_size, hw, hw)), jnp.float32),
+        }
+    else:
+        batch = {
+            "query/img": jnp.asarray(rng.standard_normal((batch_size, hw, hw, 3)), jnp.bfloat16),
+            "reference/cross/imgs": jnp.asarray(
+                rng.standard_normal((batch_size, k, hw, hw, 3)), jnp.bfloat16
+            ),
+            "query/score_map": jnp.asarray(rng.random((batch_size, hw, hw)), jnp.float32),
+        }
+    init_rng = np.random.default_rng(0)
     params = model.init(
         jax.random.PRNGKey(0),
-        batch["query/img"][:1, :70, :70],
-        batch["reference/cross/imgs"][:1, :, :70, :70],
+        jnp.asarray(init_rng.standard_normal((1, 70, 70, 3)), jnp.bfloat16),
+        jnp.asarray(init_rng.standard_normal((1, k, 70, 70, 3)), jnp.bfloat16),
     )["params"]
     tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
     state = create_train_state(params, tx)
     step_fn = make_train_step(model, tx)
 
+    q_key = "query/tokens" if tokens else "query/img"
+
     @jax.jit
     def loop_state(state, batch):
         def body(i, st):
             b2 = dict(batch)
-            b2["query/img"] = batch["query/img"] * (
+            b2[q_key] = batch[q_key] * (
                 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
             )
             return step_fn(st, b2)[0]
@@ -114,15 +136,18 @@ def measure_train() -> dict:
         float(anchor)  # host scalar fetch = the only reliable sync
         dts.append(time.perf_counter() - t0)
     dt_ms = max(dts) / n_it * 1e3
-    floor_ms = batch_size * (1 + k) * 0.5  # >=0.5 ms per 518px image
+    # sanity floor: >=0.5 ms per 518px image through the backbone; the
+    # decoder-only token step has no backbone — floor on its two cross layers
+    floor_ms = batch_size * 0.4 if tokens else batch_size * (1 + k) * 0.5
     if dt_ms < floor_ms:
         print(
             f"warning: train reading {dt_ms:.0f}ms < sanity floor "
             f"{floor_ms:.0f}ms — likely memoised",
             file=sys.stderr,
         )
+    mode = "TOKEN-SPACE train-step" if tokens else "train-step"
     return {
-        "metric": f"train-step ms (B={batch_size}, K={k}, {hw}px, bf16)",
+        "metric": f"{mode} ms (B={batch_size}, K={k}, {hw}px, bf16)",
         "value": round(dt_ms, 1),
         "unit": "ms/step",
         "vs_baseline": round(BASELINE_TRAIN_MS_A5000 / dt_ms, 2),
@@ -211,7 +236,7 @@ def main() -> None:
     enable_compile_cache()
 
     if TRAIN:
-        print(json.dumps(measure_train()))
+        print(json.dumps(measure_train(tokens=TOKENS)))
         return
     if CACHED:
         print(json.dumps(measure_inference(cached=True)))

@@ -30,7 +30,7 @@ def test_default_run_embeds_extras(monkeypatch, capsys):
     monkeypatch.setattr(
         bench, "measure_inference", lambda cached: _fake("cached" if cached else "headline")
     )
-    monkeypatch.setattr(bench, "measure_train", lambda: _fake("train"))
+    monkeypatch.setattr(bench, "measure_train", lambda tokens=False: _fake("train"))
     res, _ = _run_main(capsys)
     assert res["metric"] == "headline"
     assert set(res) >= {"metric", "value", "unit", "vs_baseline", "extras"}
@@ -39,7 +39,7 @@ def test_default_run_embeds_extras(monkeypatch, capsys):
 
 
 def test_failing_extra_never_loses_the_headline(monkeypatch, capsys):
-    def boom():
+    def boom(tokens=False):
         raise RuntimeError("train exploded")
 
     monkeypatch.setattr(
@@ -56,7 +56,7 @@ def test_failing_extra_never_loses_the_headline(monkeypatch, capsys):
 
 def test_single_mode_runs_have_no_extras(monkeypatch, capsys):
     monkeypatch.setattr(bench, "measure_inference", lambda cached: _fake("i"))
-    monkeypatch.setattr(bench, "measure_train", lambda: _fake("t"))
+    monkeypatch.setattr(bench, "measure_train", lambda tokens=False: _fake("t"))
     monkeypatch.setattr(bench, "TRAIN", True)
     assert "extras" not in _run_main(capsys)[0]
     monkeypatch.setattr(bench, "TRAIN", False)
