@@ -420,3 +420,38 @@ class TestEncodeTokensCLI:
         n_all = encode_main(base + [f"this_main.ref_token_cache_dir={full}"])
         assert n0 + n1 == n_all
         assert len(list(s0.glob("*.npz"))) == len(list(full.glob("*.npz")))
+
+
+class TestTokenLoaderMultiHost:
+    def test_two_shards_cover_the_epoch_disjointly(self, setup, token_ws):
+        """num_shards=2: window rng keys on the GLOBAL dataset index, so the
+        union of both shards' batches equals a single-host epoch's items
+        (same windows for the same index, reference DistributedSampler
+        semantics)."""
+        full, _ = _token_loader(setup, token_ws, batch_size=2)
+
+        def items_of(loader):
+            out = {}
+            for bi, batch in enumerate(loader._plan(0)):
+                chunk = batch[2]["indices"]
+                for idx in chunk:
+                    out[int(idx)] = True
+            return set(out)
+
+        sh0, _ = _token_loader(setup, token_ws, batch_size=2,
+                               shard_index=0, num_shards=2)
+        sh1, _ = _token_loader(setup, token_ws, batch_size=2,
+                               shard_index=1, num_shards=2)
+        i_all, i0, i1 = items_of(full), items_of(sh0), items_of(sh1)
+        assert i0 | i1 == i_all
+        # wrap-around padding may duplicate a few head items across shards;
+        # true disjointness holds for the non-padded majority
+        assert len(i0 & i1) <= 1
+
+        # same global index -> same token window on either shard
+        common = int(next(iter(i0)))
+        def window_of(loader, idx):
+            from crossscore_tpu.data.loader import _fold_rng
+            rng = _fold_rng(loader.seed + _WINDOW_SEED_OFFSET, 0, idx)
+            return aligned_window((6, 8), loader.crop_grid, rng)
+        assert window_of(sh0, common) == window_of(full, common)
