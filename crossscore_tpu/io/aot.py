@@ -81,6 +81,11 @@ def load_entry(entry: dict) -> Callable:
     from jax.experimental import serialize_executable as se
 
     n = int(entry.get("n_devices", 1))
+    if len(jax.devices()) < n:
+        raise ValueError(
+            f"executable was compiled for {n} devices, this process has "
+            f"{len(jax.devices())} — re-export on a matching topology"
+        )
     return se.deserialize_and_load(
         entry["payload"],
         entry["in_tree"],
@@ -91,6 +96,9 @@ def load_entry(entry: dict) -> Callable:
 
 def save_artifact(path: str | Path, entries: dict[str, dict], meta: dict | None = None) -> None:
     """Write entries + environment metadata atomically."""
+    import os
+    import threading
+
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     blob = {
@@ -98,7 +106,11 @@ def save_artifact(path: str | Path, entries: dict[str, dict], meta: dict | None 
         "meta": {**_env_meta(), **(meta or {})},
         "entries": entries,
     }
-    tmp = p.with_suffix(p.suffix + ".tmp")
+    # unique tmp per writer: concurrent exporters/extenders writing one shared
+    # artifact path must not race on a single tmp name (the token store fixed
+    # the same bug — data/token_cache.py::_disk_store); last replace wins,
+    # every published blob is whole
+    tmp = p.with_suffix(f"{p.suffix}.tmp.{os.getpid()}.{threading.get_ident()}")
     with open(tmp, "wb") as f:
         pickle.dump(blob, f)
     tmp.replace(p)

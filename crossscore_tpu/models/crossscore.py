@@ -155,6 +155,26 @@ class CrossScoreNet(nn.Module):
                  ``attn_weights_map_ref_cross`` (B, gh, gw, K, gh, gw)
         """
         c = self.cfg
+        if query_tokens is not None:
+            if ref_tokens is None or token_grid is None:
+                raise ValueError(
+                    "query_tokens (the decoder-only graph) requires ref_tokens "
+                    "and a static token_grid=(gh, gw)"
+                )
+            if query_img is not None:
+                raise ValueError("pass query_img or query_tokens, not both")
+            if norm_img:
+                raise ValueError("norm_img is pixel-space; tokens are post-encode")
+            if valid_hw is not None:
+                raise ValueError(
+                    "bucket masking (valid_hw) is pixel-space; token inputs "
+                    "must be pre-sliced to their valid grid instead"
+                )
+            if token_grid[0] * token_grid[1] != query_tokens.shape[1]:
+                raise ValueError(
+                    f"query_tokens carry {query_tokens.shape[1]} patches but "
+                    f"token_grid is {tuple(token_grid)}"
+                )
         if norm_img:
             # DELIBERATE DEVIATION: reference task/core.py:76-81 divides by the
             # ImageNet MEAN for both mean and std (it reuses img_mean for
@@ -168,23 +188,6 @@ class CrossScoreNet(nn.Module):
             if ref_imgs is not None:
                 ref_imgs = (ref_imgs - mean) / std
         if query_tokens is not None:
-            if ref_tokens is None or token_grid is None:
-                raise ValueError(
-                    "query_tokens (the decoder-only graph) requires ref_tokens "
-                    "and a static token_grid=(gh, gw)"
-                )
-            if query_img is not None:
-                raise ValueError("pass query_img or query_tokens, not both")
-            if valid_hw is not None:
-                raise ValueError(
-                    "bucket masking (valid_hw) is pixel-space; token inputs "
-                    "must be pre-sliced to their valid grid instead"
-                )
-            if token_grid[0] * token_grid[1] != query_tokens.shape[1]:
-                raise ValueError(
-                    f"query_tokens carry {query_tokens.shape[1]} patches but "
-                    f"token_grid is {tuple(token_grid)}"
-                )
             b = query_tokens.shape[0]
             hgt, wdt = token_grid[0] * c.patch_size, token_grid[1] * c.patch_size
         else:

@@ -134,10 +134,12 @@ def encode_tokens(cfg) -> int:
                     f"mixed post-resize shapes in one dataset: {sorted(shapes)} "
                     f"— token-space training needs a uniform training resolution"
                 )
-            pre_hits = cache.hits + cache.disk_hits
+            pre_misses = cache.misses
             # gather layout: ref_paths[k][b] with k=1 view, b=len(chunk) items
             cache.gather([chunk], np.stack(imgs)[:, None])
-            skipped += (cache.hits + cache.disk_hits) - pre_hits
+            # already-in-store = everything that did NOT miss (a disk hit
+            # bumps BOTH hits and disk_hits, so summing those double-counts)
+            skipped += len(chunk) - (cache.misses - pre_misses)
             done += len(chunk)
             if (i0 // enc_batch) % 20 == 0:
                 print(f"encode_tokens: {done}/{len(paths)} "

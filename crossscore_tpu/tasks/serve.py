@@ -200,6 +200,10 @@ class Scorer:
                 aot_load,
                 expect_meta={
                     "token_shape": tuple(self.token_shape),
+                    # token_shape alone cannot distinguish transposed aspects
+                    # (37x49 vs 49x37 both give 1813 patches); the grid is
+                    # baked into the compiled PE interpolation
+                    "ref_grid": tuple(self._ref_grid),
                     "params_signature": params_signature(self.params),
                     "in_dtype": str(np.dtype(self._in_dtype)),
                 },
@@ -277,6 +281,7 @@ class Scorer:
                     entries,
                     meta={
                         "token_shape": tuple(self.token_shape),
+                        "ref_grid": tuple(self._ref_grid),
                         "params_signature": params_signature(self.params),
                         "in_dtype": str(np.dtype(self._in_dtype)),
                     },
@@ -537,22 +542,23 @@ class Scorer:
     def health(self) -> dict:
         import jax
 
-        return {
-            "status": "ok",
-            "ckpt": None if self.ckpt_path is None else str(self.ckpt_path),
-            "refs": self.n_refs,
-            "token_shape": list(self.token_shape),
-            "compiled_shapes": [list(s) for s in self.compiled_shapes],
-            "requests": self.n_requests,
-            "dispatches": self.n_dispatches,
-            "max_batch": self.max_batch,
-            "max_batch_seen": self.max_batch_seen,
-            "restart_warm_disk_hits": self.disk_hits,
-            "aot_shapes": len(self._aot_keys),
-            "local_devices": self._n_local,
-            "local_dp_meshes": sorted(self._placed),
-            "backend": jax.default_backend(),
-        }
+        with self._lock:  # consistent snapshot vs dispatch/reload mutations
+            return {
+                "status": "ok",
+                "ckpt": None if self.ckpt_path is None else str(self.ckpt_path),
+                "refs": self.n_refs,
+                "token_shape": list(self.token_shape),
+                "compiled_shapes": [list(s) for s in self.compiled_shapes],
+                "requests": self.n_requests,
+                "dispatches": self.n_dispatches,
+                "max_batch": self.max_batch,
+                "max_batch_seen": self.max_batch_seen,
+                "restart_warm_disk_hits": self.disk_hits,
+                "aot_shapes": len(self._aot_keys),
+                "local_devices": self._n_local,
+                "local_dp_meshes": sorted(self._placed),
+                "backend": jax.default_backend(),
+            }
 
 
 def _json_result(res: dict) -> dict:

@@ -273,3 +273,39 @@ class TestServeAOT:
         assert before == {(84, 112, 1), (56, 70, 1)}
         node._run_device(np.zeros((1, 56, 70, 3), np.float32), want_map=False)
         assert set(node._compiled.keys()) == before
+
+    def test_transposed_ref_grid_is_refused(self, ws, tmp_path):
+        """token_shape alone cannot distinguish transposed reference aspects
+        (37x49 and 49x37 both give 1813 patches); the artifact pins the grid
+        and a mismatch is refused at startup, not served silently wrong."""
+        import pickle
+
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+
+        _, ref_dir = _dirs(ws)
+        art = tmp_path / "serve.aot"
+        base = OVERRIDES + [f"data.dataset.reference_dir={ref_dir}"]
+        Scorer(parse_cli("default_predict", base + [f"this_main.serve_aot_save={art}"]))
+        blob = pickle.load(open(art, "rb"))
+        gh, gw = blob["meta"]["ref_grid"]
+        blob["meta"]["ref_grid"] = (gw, gh)  # transposed exporter aspect
+        pickle.dump(blob, open(art, "wb"))
+        with pytest.raises(ValueError, match="ref_grid"):
+            Scorer(parse_cli("default_predict", base + [f"this_main.serve_aot_load={art}"]))
+
+    def test_insufficient_devices_named_error(self, tmp_path):
+        """An executable compiled for more devices than this process has is
+        refused with a precise message (not an XLA crash mid-startup)."""
+        import jax
+        import jax.numpy as jnp
+
+        from crossscore_tpu.io.aot import load_artifact, save_artifact, serialize_compiled
+
+        f = jax.jit(lambda x: x + 1.0)
+        c = f.lower(jax.ShapeDtypeStruct((2,), jnp.float32)).compile()
+        entry = serialize_compiled(c)
+        entry["n_devices"] = 99
+        save_artifact(tmp_path / "a.aot", {"k": entry})
+        with pytest.raises(ValueError, match="99 devices"):
+            load_artifact(tmp_path / "a.aot")
