@@ -64,6 +64,12 @@ import numpy as np
 from crossscore_tpu.tasks.common import parse_cli
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised when the pending-request queue is at ``serve_max_queue`` — the
+    HTTP layer maps it to 503 so load balancers shed to other nodes instead
+    of piling latency onto this one."""
+
+
 class Scorer:
     """Params + reference tokens + the jitted cached predict step.
 
@@ -228,13 +234,17 @@ class Scorer:
         # caveat the token cache documents (data/token_cache.py).
         self.max_batch = max(1, int(cfg.this_main.get("serve_max_batch", 1)))
         self.batch_window_s = float(cfg.this_main.get("serve_batch_window_ms", 2.0)) / 1e3
+        # backpressure: reject with 503 instead of queueing unboundedly (a
+        # load balancer sheds to other nodes; 0 = unbounded)
+        self.max_queue = int(cfg.this_main.get("serve_max_queue", 0))
+        self.n_rejected = 0
         self._buckets = sorted(
             {b for b in (1, 2, 4, 8, 16, 32) if b <= self.max_batch} | {self.max_batch}
         )
         if self.max_batch > 1:
             import queue
 
-            self._queue: "queue.Queue" = queue.Queue()
+            self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
             threading.Thread(target=self._dispatch_loop, daemon=True).start()
 
         # warm-up at the reference shape (the common camera-matches-renders
@@ -467,7 +477,14 @@ class Scorer:
             maps, means = self._run_device(q[None], want_map)
             return (maps[0] if want_map else None), float(means[0]), shape
         item = self._Pending(q, want_map)
-        self._queue.put(item)
+        try:
+            self._queue.put_nowait(item)
+        except Exception:  # queue.Full — bounded by serve_max_queue
+            with self._lock:
+                self.n_rejected += 1
+            raise ServerOverloaded(
+                f"pending queue at serve_max_queue={self.max_queue}; retry"
+            ) from None
         item.event.wait()
         if item.error is not None:
             raise item.error
@@ -553,6 +570,7 @@ class Scorer:
                 "dispatches": self.n_dispatches,
                 "max_batch": self.max_batch,
                 "max_batch_seen": self.max_batch_seen,
+                "rejected_503": self.n_rejected,
                 "restart_warm_disk_hits": self.disk_hits,
                 "aot_shapes": len(self._aot_keys),
                 "local_devices": self._n_local,
@@ -635,6 +653,8 @@ def make_server(cfg):
                     )
                 else:
                     self._send_json(404, {"error": f"unknown path {url.path}"})
+            except ServerOverloaded as e:
+                self._send_json(503, {"error": str(e)})
             except Exception as e:  # surface the cause to the client
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -527,3 +527,32 @@ class TestLocalDP:
         dp._run_device(np.zeros((2, 84, 112, 3), np.float32), want_map=False)
         assert dp._placed[2][0] is dp.params
         assert dp._placed[2] is not old_entry
+
+
+class TestBackpressure:
+    def test_full_queue_rejects_with_typed_error(self, ws):
+        """serve_max_queue bounds the pending queue; overflow raises
+        ServerOverloaded (HTTP 503) and counts in /healthz."""
+        import queue as _queue
+
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer, ServerOverloaded
+
+        _, ref_dir = _dirs(ws)
+        s = Scorer(
+            parse_cli(
+                "default_predict",
+                OVERRIDES
+                + [
+                    f"data.dataset.reference_dir={ref_dir}",
+                    "this_main.serve_max_batch=2",
+                    "this_main.serve_max_queue=1",
+                ],
+            )
+        )
+        full = _queue.Queue(maxsize=1)
+        full.put_nowait(object())
+        s._queue = full  # deterministic overflow (dispatcher watches the old queue)
+        with pytest.raises(ServerOverloaded, match="serve_max_queue=1"):
+            s._score_preprocessed(np.zeros((84, 112, 3), np.float32), want_map=False)
+        assert s.health()["rejected_503"] == 1
