@@ -556,3 +556,34 @@ class TestBackpressure:
         with pytest.raises(ServerOverloaded, match="serve_max_queue=1"):
             s._score_preprocessed(np.zeros((84, 112, 3), np.float32), want_map=False)
         assert s.health()["rejected_503"] == 1
+
+    def test_client_surfaces_503(self, ws):
+        """The stdlib client maps an overloaded daemon's 503 to a typed
+        ScoreClientError carrying the daemon's message."""
+        import json as _json
+        import threading as _threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        from crossscore_tpu.client import ScoreClient, ScoreClientError
+
+        class H(BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = _json.dumps(
+                    {"error": "pending queue at serve_max_queue=4; retry"}
+                ).encode()
+                self.send_response(503)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), H)
+        _threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            c = ScoreClient(f"http://127.0.0.1:{srv.server_address[1]}")
+            with pytest.raises(ScoreClientError, match="503.*serve_max_queue=4"):
+                c.score(b"\x89PNG fake")
+        finally:
+            srv.shutdown()
