@@ -455,3 +455,36 @@ class TestTokenLoaderMultiHost:
             rng = _fold_rng(loader.seed + _WINDOW_SEED_OFFSET, 0, idx)
             return aligned_window((6, 8), loader.crop_grid, rng)
         assert window_of(sh0, common) == window_of(full, common)
+
+
+def test_token_loader_over_record_shards_matches_filesystem(setup, token_ws, tmp_path):
+    """Composition: token-space training reads full images through the
+    record-shard store (data/records.py) bit-identically to the filesystem
+    walk — same windows, same tokens, same score-map crops."""
+    from crossscore_tpu.data import NvsDataset
+    from crossscore_tpu.data.records import pack
+    from crossscore_tpu.data.token_cache import RefTokenCache
+
+    pack(token_ws, tmp_path / "packed", shard_mb=64, verbose=False)
+
+    cfg, model, params, _, _ = setup
+    encode = jax.jit(make_backbone_encoder(cfg))
+
+    def loader(record_dir=None):
+        ds = NvsDataset(
+            dataset_path=str(token_ws), resolution="res_540", data_split="train",
+            neighbour_config={"strategy": "random", "cross": 2, "deterministic": False},
+            metric_type="ssim", metric_min=0, metric_max=1,
+            crop_size=None, crop_mode="integer_patches", return_item_paths=True,
+            record_dir=record_dir,
+        )
+        cache = RefTokenCache(lambda imgs, valid_hw=None: encode(params, imgs), encode_batch=4)
+        return TokenSpaceLoader(ds, cache, crop_size=56, batch_size=2,
+                                shuffle=True, num_workers=2, seed=11)
+
+    fs_batches = list(loader().epoch(0))
+    rec_batches = list(loader(str(tmp_path / "packed")).epoch(0))
+    assert len(fs_batches) == len(rec_batches)
+    for a, b in zip(fs_batches, rec_batches):
+        for key in ("query/tokens", "reference/cross/tokens", "query/score_map"):
+            np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]))
