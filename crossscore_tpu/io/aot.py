@@ -153,3 +153,36 @@ def load_artifact(path: str | Path, expect_meta: dict | None = None,
     if with_entries:
         return meta, fns, blob["entries"]
     return meta, fns
+
+
+def describe(path: str | Path) -> dict:
+    """Artifact metadata + entry inventory WITHOUT loading executables (no
+    device/backend match needed — usable from any machine)."""
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if not isinstance(blob, dict) or blob.get("format") != _FORMAT:
+        raise ValueError(f"{path}: not a {_FORMAT} artifact")
+    return {
+        "meta": {k: v for k, v in blob["meta"].items() if k != "params_signature"},
+        "params": len(blob["meta"].get("params_signature") or []),
+        "entries": {
+            key: {"n_devices": int(e.get("n_devices", 1)),
+                  "payload_bytes": len(e["payload"])}
+            for key, e in blob["entries"].items()
+        },
+    }
+
+
+def main(argv=None) -> None:
+    """``python -m crossscore_tpu.io.aot <artifact>`` — fleet-ops inspection."""
+    import json
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) != 1:
+        raise SystemExit("usage: python -m crossscore_tpu.io.aot <artifact.aot>")
+    print(json.dumps(describe(args[0]), indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()

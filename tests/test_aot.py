@@ -309,3 +309,27 @@ class TestServeAOT:
         save_artifact(tmp_path / "a.aot", {"k": entry})
         with pytest.raises(ValueError, match="99 devices"):
             load_artifact(tmp_path / "a.aot")
+
+    def test_describe_inventory_without_loading(self, ws, tmp_path, capsys):
+        """The inspection CLI reads meta + entry sizes without deserializing
+        executables (works cross-platform for fleet ops)."""
+        import json
+
+        from crossscore_tpu.io.aot import describe, main as aot_main
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import Scorer
+
+        _, ref_dir = _dirs(ws)
+        art = tmp_path / "serve.aot"
+        Scorer(parse_cli(
+            "default_predict",
+            OVERRIDES + [f"data.dataset.reference_dir={ref_dir}",
+                         f"this_main.serve_aot_save={art}"],
+        ))
+        d = describe(art)
+        assert tuple(d["meta"]["token_shape"]) == (2, 48, 64)
+        assert tuple(d["meta"]["ref_grid"]) == (6, 8)
+        assert "params_signature" not in d["meta"] and d["params"] > 50
+        assert all(e["payload_bytes"] > 0 for e in d["entries"].values())
+        aot_main([str(art)])
+        assert json.loads(capsys.readouterr().out)["entries"]
