@@ -331,5 +331,6 @@ class TestServeAOT:
         assert tuple(d["meta"]["ref_grid"]) == (6, 8)
         assert "params_signature" not in d["meta"] and d["params"] > 50
         assert all(e["payload_bytes"] > 0 for e in d["entries"].values())
+        capsys.readouterr()  # drain the Scorer's startup prints
         aot_main([str(art)])
         assert json.loads(capsys.readouterr().out)["entries"]
