@@ -121,6 +121,7 @@ class TokenSpaceLoader(Loader):
         self.patch = patch
         self.crop_grid = (crop_size // patch, crop_size // patch)
         self.deterministic_crop = deterministic_crop
+        self._slice_pool = None  # lazy; lives for the loader's lifetime
         _retain_malloc_arena()
 
     def _plan(self, epoch: int) -> list:
@@ -151,7 +152,9 @@ class TokenSpaceLoader(Loader):
         q_toks = np.empty((b, ch * cw, q_tok_full.shape[-1]), q_tok_full.dtype)
         r_toks = np.empty((b, k, ch * cw, r_tok_full.shape[-1]), r_tok_full.dtype)
         sm_crops = np.empty((b, ch * p, cw * p), sm.dtype)
-        for bb in range(b):
+
+        def slice_item(bb: int) -> None:
+            # rng stream is per-item, so parallel order cannot change results
             rng = _fold_rng(self.seed + _WINDOW_SEED_OFFSET, extra["epoch"], int(idxs[bb]))
             i, j = aligned_window(full_grid, self.crop_grid, rng, self.deterministic_crop)
             q_toks[bb] = crop_token_grid(q_tok_full[bb], full_grid, (i, j), self.crop_grid)
@@ -161,6 +164,19 @@ class TokenSpaceLoader(Loader):
                 r_toks[bb, kk] = crop_token_grid(
                     r_tok_full[bb, kk], full_grid, ij, self.crop_grid
                 )
+
+        # numpy copies release the GIL: on multi-core production hosts the
+        # ~37 ms/batch of slicing parallelises across items (unmeasurable on
+        # this 1-core host, like the rest of the loader's thread scaling)
+        if self.num_workers > 1 and b > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._slice_pool is None:
+                self._slice_pool = ThreadPoolExecutor(self.num_workers)
+            list(self._slice_pool.map(slice_item, range(b)))
+        else:
+            for bb in range(b):
+                slice_item(bb)
         return {
             "query/tokens": q_toks,
             "reference/cross/tokens": r_toks,

@@ -164,9 +164,10 @@ def _token_loader(setup, root, crop=56, batch_size=3, **kw):
     cfg, model, params, _, _ = setup
     encode = jax.jit(make_backbone_encoder(cfg))
     cache = RefTokenCache(lambda imgs, valid_hw=None: encode(params, imgs), encode_batch=4)
+    kw.setdefault("num_workers", 2)
     return TokenSpaceLoader(
         _uncropped_ds(root), cache, crop_size=crop,
-        batch_size=batch_size, shuffle=True, num_workers=2, seed=3, **kw
+        batch_size=batch_size, shuffle=True, seed=3, **kw
     ), cache
 
 
@@ -486,5 +487,15 @@ def test_token_loader_over_record_shards_matches_filesystem(setup, token_ws, tmp
     rec_batches = list(loader(str(tmp_path / "packed")).epoch(0))
     assert len(fs_batches) == len(rec_batches)
     for a, b in zip(fs_batches, rec_batches):
+        for key in ("query/tokens", "reference/cross/tokens", "query/score_map"):
+            np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]))
+
+
+def test_parallel_slicing_matches_serial(setup, token_ws):
+    """The per-item slice pool (multi-core hosts) is bitwise identical to the
+    serial path — rng streams are per-item, so order cannot matter."""
+    serial, _ = _token_loader(setup, token_ws, batch_size=4, num_workers=1)
+    parallel, _ = _token_loader(setup, token_ws, batch_size=4, num_workers=4)
+    for a, b in zip(serial.epoch(0), parallel.epoch(0)):
         for key in ("query/tokens", "reference/cross/tokens", "query/score_map"):
             np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]))
