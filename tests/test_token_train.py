@@ -499,3 +499,23 @@ def test_parallel_slicing_matches_serial(setup, token_ws):
     for a, b in zip(serial.epoch(0), parallel.epoch(0)):
         for key in ("query/tokens", "reference/cross/tokens", "query/score_map"):
             np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]))
+
+
+def test_window_primitives_fuzz():
+    """Randomized grids/windows: crop_token_grid equals the naive gather for
+    arbitrary leading dims, dtypes, and window positions."""
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        gh, gw = int(rng.integers(2, 12)), int(rng.integers(2, 12))
+        ch, cw = int(rng.integers(1, gh + 1)), int(rng.integers(1, gw + 1))
+        d = int(rng.integers(1, 9)) * 8
+        lead = () if rng.random() < 0.5 else (int(rng.integers(1, 4)),)
+        dtype = rng.choice([np.float32, np.float16])
+        toks = rng.standard_normal((*lead, gh * gw, d)).astype(dtype)
+        i, j = aligned_window((gh, gw), (ch, cw), rng)
+        got = crop_token_grid(toks, (gh, gw), (i, j), (ch, cw))
+        want = toks.reshape(*lead, gh, gw, d)[..., i:i + ch, j:j + cw, :]
+        want = want.reshape(*lead, ch * cw, d)
+        np.testing.assert_array_equal(got, want)
+        # window always in bounds
+        assert 0 <= i <= gh - ch and 0 <= j <= gw - cw
