@@ -8,7 +8,10 @@ the training graph, which VERDICT r2 flagged as un-traced (~29% MFU vs the
 forward's ~55%). Reference hot loop: ``task/core.py:119-161`` (144-image
 frozen forward) + ``model/customised_transformer/transformer.py:195-205``.
 
-Usage: python tools/train_trace.py [batch] [k] [trace_dir]
+Usage: python tools/train_trace.py [batch] [k] [trace_dir] [tokens]
+A 4th arg of ``tokens`` traces the TOKEN-SPACE step instead (decoder-only
+graph over precomputed frozen-backbone tokens, data/token_train.py) — the
+fast-path step measured at 80.4 ms by BENCH_TRAIN=1 BENCH_TOKENS=1.
 """
 
 import sys
@@ -22,7 +25,7 @@ import numpy as np
 from trace_breakdown import analyse  # same XSpace parsing
 
 
-def capture(trace_dir: str, batch_size: int, k: int) -> None:
+def capture(trace_dir: str, batch_size: int, k: int, tokens: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -38,17 +41,31 @@ def capture(trace_dir: str, batch_size: int, k: int) -> None:
     mcfg = CrossScoreConfig.from_config(cfg)
     model = CrossScoreNet(mcfg)
     rng = np.random.default_rng(time.time_ns())
-    batch = {
-        "query/img": jnp.asarray(rng.standard_normal((batch_size, hw, hw, 3)), jnp.bfloat16),
-        "reference/cross/imgs": jnp.asarray(
-            rng.standard_normal((batch_size, k, hw, hw, 3)), jnp.bfloat16
-        ),
-        "query/score_map": jnp.asarray(rng.random((batch_size, hw, hw)), jnp.float32),
-    }
+    if tokens:
+        n_patch = (hw // mcfg.patch_size) ** 2
+        d = mcfg.backbone.hidden_size
+        batch = {
+            "query/tokens": jnp.asarray(
+                rng.standard_normal((batch_size, n_patch, d)), jnp.bfloat16
+            ),
+            "reference/cross/tokens": jnp.asarray(
+                rng.standard_normal((batch_size, k, n_patch, d)), jnp.bfloat16
+            ),
+            "query/score_map": jnp.asarray(rng.random((batch_size, hw, hw)), jnp.float32),
+        }
+    else:
+        batch = {
+            "query/img": jnp.asarray(rng.standard_normal((batch_size, hw, hw, 3)), jnp.bfloat16),
+            "reference/cross/imgs": jnp.asarray(
+                rng.standard_normal((batch_size, k, hw, hw, 3)), jnp.bfloat16
+            ),
+            "query/score_map": jnp.asarray(rng.random((batch_size, hw, hw)), jnp.float32),
+        }
+    init_rng = np.random.default_rng(0)
     params = model.init(
         jax.random.PRNGKey(0),
-        batch["query/img"][:1, :70, :70],
-        batch["reference/cross/imgs"][:1, :, :70, :70],
+        jnp.asarray(init_rng.standard_normal((1, 70, 70, 3)), jnp.bfloat16),
+        jnp.asarray(init_rng.standard_normal((1, k, 70, 70, 3)), jnp.bfloat16),
     )["params"]
     tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
     state = create_train_state(params, tx)
@@ -73,7 +90,8 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     trace_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/traintrace"
-    capture(trace_dir, batch, k)
+    tokens = len(sys.argv) > 4 and sys.argv[4] == "tokens"
+    capture(trace_dir, batch, k, tokens=tokens)
     analyse(trace_dir)
 
 
