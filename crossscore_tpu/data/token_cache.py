@@ -143,7 +143,7 @@ class RefTokenCache:
         return self._disk_load(key) is not None
 
     def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray,
-               skipped=None, valid_hw=None) -> np.ndarray:
+               skipped=None, valid_hw=None, stack: bool = True):
         """:param ref_paths: per-view path lists ``[k][b]`` (the collated
             ``batch["item_paths"]["reference/cross/imgs"]`` layout).
         :param ref_imgs: (B, K, H, W, 3) normalised pixels (host numpy).
@@ -155,7 +155,14 @@ class RefTokenCache:
             BUCKET-PADDED batches (shape-bucketed serving): an item's K refs
             share its shape; misses encode with the mask and cache under a
             (bucket, valid)-qualified key.
-        :return: (B, K, N_patch, D) tokens, dtype = encode_fn's output."""
+        :param stack: False returns ``[b][k]`` nested lists of the cache's
+            OWN token arrays instead of a stacked copy — zero-copy for
+            callers that only read windows of the grids (token-space
+            training slices 37x37 windows out of full grids; stacking them
+            first is ~270 MB/batch of pure memcpy). Callers must treat the
+            returned arrays as read-only.
+        :return: (B, K, N_patch, D) tokens (``stack=True``) or ``[b][k]``
+            lists of (N_patch, D) arrays; dtype = encode_fn's output."""
         b, k = ref_imgs.shape[:2]
         if valid_hw is None:
             valids = [None] * b
@@ -212,6 +219,8 @@ class RefTokenCache:
                 for j in range(n_valid):
                     self._put(miss_keys[i0 + j], tokens[j])
 
+        if not stack:
+            return [[self._get(keys[bb][kk]) for kk in range(k)] for bb in range(b)]
         out = np.stack(
             [np.stack([self._get(keys[bb][kk]) for kk in range(k)]) for bb in range(b)]
         )

@@ -141,28 +141,35 @@ class TokenSpaceLoader(Loader):
         ch, cw = self.crop_grid
 
         # full-image tokens, encoded once per unique (path, shape) — the
-        # cache layout is [k][b] (the collated item_paths layout)
-        q_tok_full = self.cache.gather([list(paths["query/img"])], q[:, None])[:, 0]
-        r_tok_full = self.cache.gather(paths["reference/cross/imgs"], refs)
+        # cache layout is [k][b] (the collated item_paths layout).
+        # stack=False: windows are sliced STRAIGHT out of the cache's own
+        # grids; stacking (B,K,G,D) first is ~270 MB/batch of pure memcpy
+        # (measured: the stacked form costs ~2x the whole assembly)
+        q_grids = self.cache.gather(
+            [list(paths["query/img"])], q[:, None], stack=False
+        )
+        r_grids = self.cache.gather(paths["reference/cross/imgs"], refs, stack=False)
+        tok_dtype = q_grids[0][0].dtype
+        tok_d = q_grids[0][0].shape[-1]
 
         # per-item windows: indices may repeat under pad_last (duplicated
         # final items) — identical rng -> identical windows -> the _valid
         # masking sees true duplicates, as in the pixel path
         idxs = list(extra["indices"]) + [extra["indices"][-1]] * (b - len(extra["indices"]))
-        q_toks = np.empty((b, ch * cw, q_tok_full.shape[-1]), q_tok_full.dtype)
-        r_toks = np.empty((b, k, ch * cw, r_tok_full.shape[-1]), r_tok_full.dtype)
+        q_toks = np.empty((b, ch * cw, tok_d), tok_dtype)
+        r_toks = np.empty((b, k, ch * cw, tok_d), tok_dtype)
         sm_crops = np.empty((b, ch * p, cw * p), sm.dtype)
 
         def slice_item(bb: int) -> None:
             # rng stream is per-item, so parallel order cannot change results
             rng = _fold_rng(self.seed + _WINDOW_SEED_OFFSET, extra["epoch"], int(idxs[bb]))
             i, j = aligned_window(full_grid, self.crop_grid, rng, self.deterministic_crop)
-            q_toks[bb] = crop_token_grid(q_tok_full[bb], full_grid, (i, j), self.crop_grid)
+            q_toks[bb] = crop_token_grid(q_grids[bb][0], full_grid, (i, j), self.crop_grid)
             sm_crops[bb] = sm[bb, i * p : (i + ch) * p, j * p : (j + cw) * p]
             for kk in range(k):
                 ij = aligned_window(full_grid, self.crop_grid, rng, self.deterministic_crop)
                 r_toks[bb, kk] = crop_token_grid(
-                    r_tok_full[bb, kk], full_grid, ij, self.crop_grid
+                    r_grids[bb][kk], full_grid, ij, self.crop_grid
                 )
 
         # numpy copies release the GIL: on multi-core production hosts the

@@ -55,6 +55,26 @@ class TestRefTokenCache:
         cache.gather(ref_paths, imgs)
         assert counter["calls"] == 1
 
+    def test_nostack_gather_returns_cache_buffers(self, tmp_path, rng):
+        """``stack=False`` returns the cache's OWN arrays (zero-copy — the
+        token-space loader slices windows straight out of them) with values
+        identical to the stacked form."""
+        counter = {"calls": 0, "images": 0}
+        cache = RefTokenCache(_fake_encoder(counter), encode_batch=4)
+        paths = self._mk(tmp_path, 4)
+        imgs = rng.standard_normal((2, 2, 8, 8, 3)).astype(np.float32)
+        ref_paths = [[paths[0], paths[1]], [paths[2], paths[3]]]  # [k][b]
+        stacked = cache.gather(ref_paths, imgs)
+        nested = cache.gather(ref_paths, imgs, stack=False)
+        assert counter["calls"] == 1  # second gather was all-hits
+        assert isinstance(nested, list) and len(nested) == 2
+        for bb in range(2):
+            for kk in range(2):
+                np.testing.assert_array_equal(nested[bb][kk], stacked[bb, kk])
+                # identity, not a copy: the array IS the cached buffer
+                key = cache._key(ref_paths[kk][bb], imgs.shape[2:4])
+                assert nested[bb][kk] is cache._cache[key]
+
     def test_chunking_pads_to_fixed_graph(self, tmp_path, rng):
         counter = {"calls": 0, "images": 0}
         cache = RefTokenCache(_fake_encoder(counter), encode_batch=2)
