@@ -380,8 +380,15 @@ class NvsDataset:
             "query/img": normalize_imagenet(q).astype(np.float32),
             "query/score_map": sm.astype(np.float32),
         }
+        # decode-skip is fused-only, but when the hooks are set the PIL
+        # fallback must emit the same keys (all-False) so a corpus that mixes
+        # PNG and non-PNG items still collates into one batch
+        if getattr(self, "query_pixel_skip", None) is not None:
+            out["query/skipped"] = np.asarray(False)
         if refs is not None:
             out["reference/cross/imgs"] = normalize_imagenet(refs).astype(np.float32)
+            if getattr(self, "ref_pixel_skip", None) is not None:
+                out["reference/skipped"] = np.zeros(len(refs), bool)
         if self.return_item_paths:
             out["item_paths"] = item_paths
         return out
@@ -448,8 +455,19 @@ class NvsDataset:
         resize_hw, crop, out_hw, pre_crop_hw = self._plan_geometry(
             qpath, rng, is_query=True, payload=q_payload
         )
-        q = self._fi_load_rgb(qpath, q_payload, resize_hw=resize_hw, crop=crop,
-                              normalize=True)
+        # optional loader-side QUERY decode skip (token-space training,
+        # data/token_train.py): once the token cache holds this full image's
+        # grid, the query pixels are never consumed — the training window is
+        # sliced from cached tokens and supervision comes from the score map
+        # below. Same exactness argument as the reference skip: this path
+        # draws no rng, and the consumer resolves skipped slots cache-only.
+        qskip_fn = getattr(self, "query_pixel_skip", None)
+        q_skipped = bool(qskip_fn is not None and qskip_fn(qpath, out_hw))
+        if q_skipped:
+            q = np.zeros((*out_hw, 3), np.float32)  # placeholder
+        else:
+            q = self._fi_load_rgb(qpath, q_payload, resize_hw=resize_hw,
+                                  crop=crop, normalize=True)
 
         sm_path = item_paths["query/score_map"]
         if sm_path == EMPTY_IMAGE or mc["type"] is None:
@@ -518,6 +536,8 @@ class NvsDataset:
                                   normalize=True, out=refs[i])
 
         out = {"query/img": q, "query/score_map": sm}
+        if qskip_fn is not None:
+            out["query/skipped"] = np.asarray(q_skipped)
         if refs is not None:
             out["reference/cross/imgs"] = refs
             if skip_fn is not None:
@@ -558,6 +578,13 @@ def get_dataset(cfg, data_split: str, return_item_paths: bool = False, crop_mode
     if len(datasets) == 1:
         return datasets[0]
     return ConcatDataset(datasets)
+
+
+def leaf_datasets(ds) -> list:
+    """The NvsDataset leaves of ``ds`` (itself, or a ConcatDataset's parts).
+    Per-item hooks (``ref_pixel_skip``/``query_pixel_skip``) must be set on
+    the LEAVES — ConcatDataset does not forward attribute assignment."""
+    return list(ds.datasets) if isinstance(ds, ConcatDataset) else [ds]
 
 
 class ConcatDataset:

@@ -145,10 +145,18 @@ class TokenSpaceLoader(Loader):
         # stack=False: windows are sliced STRAIGHT out of the cache's own
         # grids; stacking (B,K,G,D) first is ~270 MB/batch of pure memcpy
         # (measured: the stacked form costs ~2x the whole assembly)
+        # decode-skip: once the cache is warm the dataset emits placeholder
+        # pixels for cached images (query AND references); gather resolves
+        # those slots cache-only. Steady-state epochs decode only score maps.
+        q_skip = batch.get("query/skipped")
         q_grids = self.cache.gather(
-            [list(paths["query/img"])], q[:, None], stack=False
+            [list(paths["query/img"])], q[:, None], stack=False,
+            skipped=None if q_skip is None else q_skip[:, None],
         )
-        r_grids = self.cache.gather(paths["reference/cross/imgs"], refs, stack=False)
+        r_grids = self.cache.gather(
+            paths["reference/cross/imgs"], refs, stack=False,
+            skipped=batch.get("reference/skipped"),
+        )
         tok_dtype = q_grids[0][0].dtype
         tok_d = q_grids[0][0].shape[-1]
 

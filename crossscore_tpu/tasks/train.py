@@ -130,6 +130,19 @@ def train(cfg) -> Path:
             deterministic_crop=deterministic_crop,
             **train_loader_kw,
         )
+        # decode-skip: the train path never consumes pixels of a cached
+        # image (windows are sliced from cached tokens; supervision is the
+        # score map) — skip their PNG decode entirely. Fused-path only;
+        # exact (the integer_patches geometry draws no rng). Steady-state
+        # epochs decode only the score maps; with a warm persist_dir store
+        # (tasks.encode_tokens) that holds from step one.
+        from crossscore_tpu.data import fastimage
+        from crossscore_tpu.data.nvs_index import leaf_datasets
+
+        if fastimage.available():
+            for _leaf in leaf_datasets(ds_train):
+                _leaf.ref_pixel_skip = token_cache.has
+                _leaf.query_pixel_skip = token_cache.has
     else:
         loader_train = Loader(ds_train, **train_loader_kw)
     # the mesh data axis is sized for the TRAIN batch; a val batch size it

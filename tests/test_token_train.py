@@ -246,6 +246,29 @@ class TestTokenSpaceLoader:
         list(loader.epoch(1))
         assert cache.misses == misses_after_e0  # epoch 2+: pure numpy slicing
 
+    def test_decode_skip_bit_identical_and_skips(self, setup, token_ws):
+        """With the ``query_pixel_skip``/``ref_pixel_skip`` hooks wired (as
+        tasks.train does), cached images' pixels are never decoded and the
+        token batches stay BIT-IDENTICAL to the no-skip loader — in the cold
+        first epoch (late repeats already skip) and in the warm second."""
+        from crossscore_tpu.data import fastimage
+
+        if not fastimage.available():
+            pytest.skip("native fastimage unavailable (skip path is fused-only)")
+        loader_a, cache_a = _token_loader(setup, token_ws)
+        loader_b, cache_b = _token_loader(setup, token_ws)
+        ds_b = loader_b.dataset
+        ds_b.query_pixel_skip = cache_b.has
+        ds_b.ref_pixel_skip = cache_b.has
+        for epoch in (0, 1):
+            for x, y in zip(loader_a.epoch(epoch), loader_b.epoch(epoch)):
+                for key in ("query/tokens", "reference/cross/tokens",
+                            "query/score_map"):
+                    np.testing.assert_array_equal(x[key], y[key], err_msg=key)
+        assert cache_b.skipped_decodes > 0  # warm epoch decoded no pixels
+        # skipped slots resolve cache-only: no placeholder was ever encoded
+        assert cache_b.misses == cache_a.misses
+
     def test_overfit_decreases_loss(self, setup, token_ws):
         """The decoder-only step TRAINS from token batches end-to-end."""
         import optax
