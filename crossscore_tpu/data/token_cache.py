@@ -137,10 +137,14 @@ class RefTokenCache:
         the LRU so in-flight entries are not evicted between the loader's
         check and the consuming ``gather``."""
         key = self._key(path, hw)
-        if key in self._cache:
+        try:
             self._cache.move_to_end(key)
             return True
-        return self._disk_load(key) is not None
+        except KeyError:
+            # not cached — or evicted between a membership check and the
+            # touch (has() runs on loader WORKER threads while the producer
+            # thread encodes/evicts; EAFP makes the touch one atomic op)
+            return self._disk_load(key) is not None
 
     def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray,
                skipped=None, valid_hw=None, stack: bool = True):
