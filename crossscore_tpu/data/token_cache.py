@@ -57,6 +57,13 @@ class RefTokenCache:
         self._batch = int(encode_batch)
         self._max = int(max_items)
         self._cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        # loader WORKER threads touch the LRU (has -> _disk_load -> _put,
+        # which evicts) concurrently with the producer thread's gather();
+        # individual dict ops are GIL-atomic but check-then-act sequences
+        # (membership test -> move_to_end, eviction between gather's skip
+        # validation and the final _get) are not. The critical sections are
+        # microseconds against ms-scale decode/encode work, so one lock.
+        self._lock = threading.Lock()
         self._dir = Path(persist_dir) if persist_dir else None
         if self._dir is not None:
             self._dir.mkdir(parents=True, exist_ok=True)
@@ -137,14 +144,13 @@ class RefTokenCache:
         the LRU so in-flight entries are not evicted between the loader's
         check and the consuming ``gather``."""
         key = self._key(path, hw)
-        try:
-            self._cache.move_to_end(key)
-            return True
-        except KeyError:
-            # not cached — or evicted between a membership check and the
-            # touch (has() runs on loader WORKER threads while the producer
-            # thread encodes/evicts; EAFP makes the touch one atomic op)
-            return self._disk_load(key) is not None
+        with self._lock:
+            try:
+                self._cache.move_to_end(key)
+                return True
+            except KeyError:
+                pass  # not cached — fall through to the disk store
+        return self._disk_load(key) is not None
 
     def gather(self, ref_paths: list[list[str]], ref_imgs: np.ndarray,
                skipped=None, valid_hw=None, stack: bool = True):
@@ -180,24 +186,32 @@ class RefTokenCache:
 
         # unique misses, first-occurrence order
         miss: "OrderedDict[tuple, tuple]" = OrderedDict()
+        n_skipped = 0
         for bb in range(b):
             for kk in range(k):
                 key = keys[bb][kk]
                 if skipped is not None and skipped[bb][kk]:
-                    if key not in self._cache and self._disk_load(key) is None:
+                    with self._lock:
+                        in_ram = key in self._cache
+                    if not in_ram and self._disk_load(key) is None:
                         raise RuntimeError(
                             f"decode-skipped reference evicted from the token "
                             f"cache before use: {key[0]} — raise "
                             f"this_main.ref_token_cache_max_items"
                         )
-                    self.skipped_decodes += 1
+                    n_skipped += 1
                     continue
-                if (key not in self._cache and key not in miss
-                        and self._disk_load(key) is None):
+                with self._lock:
+                    in_ram = key in self._cache
+                if not in_ram and key not in miss and self._disk_load(key) is None:
                     miss[key] = (ref_imgs[bb, kk], valids[bb])
-        self.hits += b * k - sum(
+        n_miss_occurrences = sum(
             1 for bb in range(b) for kk in range(k) if keys[bb][kk] in miss
         )
+        # skipped slots are resolved-from-cache by construction; counting
+        # them again as hits would inflate the effectiveness ratio
+        self.skipped_decodes += n_skipped
+        self.hits += b * k - n_skipped - n_miss_occurrences
         self.misses += len(miss)
 
         if miss:
@@ -231,16 +245,34 @@ class RefTokenCache:
         return out
 
     def _put(self, key: tuple, tokens: np.ndarray, write_disk: bool = True) -> None:
-        self._cache[key] = tokens
-        self._cache.move_to_end(key)
+        with self._lock:
+            self._cache[key] = tokens
+            self._cache.move_to_end(key)
+            while len(self._cache) > self._max:
+                self._cache.popitem(last=False)
         if write_disk and self._dir is not None:
             self._disk_store(key, tokens)
-        while len(self._cache) > self._max:
-            self._cache.popitem(last=False)
 
     def _get(self, key: tuple) -> np.ndarray:
-        self._cache.move_to_end(key)
-        return self._cache[key]
+        with self._lock:
+            try:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+            except KeyError:
+                pass
+        # evicted between gather's membership validation and this read
+        # (a worker-thread _put landed in between); the disk store, when
+        # configured, still has it — otherwise fail with the actionable
+        # message instead of a bare KeyError
+        arr = self._disk_load(key)
+        if arr is None:
+            raise RuntimeError(
+                f"reference tokens evicted from the token cache between "
+                f"validation and use: {key[0]} — raise "
+                f"this_main.ref_token_cache_max_items"
+            )
+        return arr
 
     def __len__(self) -> int:
-        return len(self._cache)
+        with self._lock:
+            return len(self._cache)

@@ -122,7 +122,43 @@ class TokenSpaceLoader(Loader):
         self.crop_grid = (crop_size // patch, crop_size // patch)
         self.deterministic_crop = deterministic_crop
         self._slice_pool = None  # lazy; lives for the loader's lifetime
+        self._check_cache_capacity(dataset, cache)
         _retain_malloc_arena()
+
+    def _check_cache_capacity(self, dataset, cache) -> None:
+        """Fail undersized caches at startup, not mid-epoch.
+
+        The decode-skip path (``dataset.ref_pixel_skip``) leaves PLACEHOLDER
+        pixels for cached images, so an entry evicted between a worker's
+        ``has()`` and the producer's consuming ``gather()`` is unrecoverable
+        from RAM; the exposure window spans the whole prefetch pipeline —
+        ``prefetch_batches`` batches of B*(K+1) grids each, plus the batch in
+        flight — so ``max_items`` must cover ~2x that working set. A disk
+        store (``persist_dir``) downgrades eviction to a reload, so it only
+        warns there."""
+        from crossscore_tpu.data.nvs_index import leaf_datasets
+
+        k = max(
+            (int(leaf.neighbour_config.get("cross", 0))
+             for leaf in leaf_datasets(dataset)),
+            default=0,
+        )
+        need = 2 * (self.prefetch_batches + 1) * self.batch_size * (k + 1)
+        if cache._max >= need:
+            return
+        msg = (
+            f"token cache max_items={cache._max} is below the in-flight "
+            f"working set ~{need} (2 x {self.prefetch_batches + 1} batches x "
+            f"batch_size {self.batch_size} x (K+1)={k + 1}); eviction races "
+            f"with the decode-skip path — raise "
+            f"this_main.ref_token_cache_max_items to >= {need}"
+        )
+        if cache._dir is None:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg + " (disk store present: evictions degrade to "
+                      "reloads, not crashes)", RuntimeWarning, stacklevel=3)
 
     def _plan(self, epoch: int) -> list:
         return [

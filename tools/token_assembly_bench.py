@@ -72,7 +72,9 @@ def main() -> None:
         _StubDataset(), cache, crop_size=args.crop, batch_size=b, num_workers=1
     )
 
-    from crossscore_tpu.data.token_train import crop_token_grid, aligned_window
+    from crossscore_tpu.data.token_train import (
+        _WINDOW_SEED_OFFSET, aligned_window, crop_token_grid,
+    )
     from crossscore_tpu.data.loader import _fold_rng
 
     ch = args.crop // p
@@ -86,7 +88,7 @@ def main() -> None:
         sm_crops = np.empty((b, ch * p, ch * p), np.float32)
         sm = batch["query/score_map"]
         for bb in range(b):
-            rng = _fold_rng(loader.seed + 7919, extra["epoch"], bb)
+            rng = _fold_rng(loader.seed + _WINDOW_SEED_OFFSET, extra["epoch"], bb)
             i, j = aligned_window((gh, gw), (ch, ch), rng)
             q_toks[bb] = crop_token_grid(q_full[bb], (gh, gw), (i, j), (ch, ch))
             sm_crops[bb] = sm[bb, i * p:(i + ch) * p, j * p:(j + ch) * p]
