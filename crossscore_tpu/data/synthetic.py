@@ -10,6 +10,16 @@ Produces the exact directory layout the reference's preprocessing emits
 
 Renders are GT plus noise; metric maps are smooth random fields written with
 the uint16 codec. CLI: ``python -m crossscore_tpu.data.synthetic <root> [--hw 84 112]``.
+
+``learnable=True`` makes the supervision a RECOVERABLE function of the inputs
+so training-quality A/Bs (pixel-crop vs token-space) measure learning, not
+noise-fitting: each scene has one textured base image, frames are cyclic
+rolls of it (stand-in "viewpoints" whose content cross-references exactly),
+renders are degraded by a smooth spatially-varying noise field sigma(x, y),
+and the ssim target is a deterministic monotone map of sigma. A model can
+estimate sigma locally from the query and sharpen the estimate against the
+clean reference views — exactly the reference task's structure
+(reference ``README.md:1-4``: score a render against unaligned real captures).
 """
 
 from __future__ import annotations
@@ -22,6 +32,14 @@ import numpy as np
 from crossscore_tpu.io.images import image_write, metric_map_write
 
 
+def _smooth_field(rng: np.random.Generator, hw: tuple, grid: tuple) -> np.ndarray:
+    """Piecewise-constant random field in [0, 1] on a coarse grid, upsampled
+    to (H, W) — the cheap stand-in for smooth spatial structure."""
+    coarse = rng.random(grid).astype(np.float32)
+    reps = (hw[0] // grid[0] + 1, hw[1] // grid[1] + 1)
+    return np.kron(coarse, np.ones(reps, np.float32))[: hw[0], : hw[1]]
+
+
 def generate(
     root: str | Path,
     resolution: str = "res_540",
@@ -31,6 +49,7 @@ def generate(
     iters: tuple = (1000,),
     hw: tuple = (84, 112),
     seed: int = 0,
+    learnable: bool = False,
 ) -> Path:
     scenes_per_split = scenes_per_split or {"train": 2, "val": 1, "test": 1}
     root = Path(root)
@@ -51,6 +70,13 @@ def generate(
             hw = hw_list[scene_id % len(hw_list)]
             scene_id += 1
             split_json[split].append(scene)
+            if learnable:
+                # one textured base per scene: coarse structure + fine
+                # texture, so token patches are matchable across "views"
+                base_img = (
+                    0.6 * np.stack([_smooth_field(rng, hw, (9, 12)) for _ in range(3)], -1)
+                    + 0.4 * rng.random((*hw, 3)).astype(np.float32)
+                )
             for gs_split, n_imgs in (("train", n_train_imgs), ("test", n_test_imgs)):
                 for it in iters:
                     base = res_dir / scene / gs_split / f"ours_{it}"
@@ -58,15 +84,30 @@ def generate(
                         (base / sub).mkdir(parents=True, exist_ok=True)
                     for i in range(n_imgs):
                         name = f"frame_{i:05d}.png"
-                        gt = rng.random((*hw, 3)).astype(np.float32)
-                        render = np.clip(gt + rng.normal(0, 0.08, gt.shape), 0, 1).astype(
-                            np.float32
-                        )
-                        # smooth random metric maps
-                        coarse = rng.random((6, 8)).astype(np.float32)
-                        reps = (hw[0] // 6 + 1, hw[1] // 8 + 1)
-                        ssim = np.kron(coarse, np.ones(reps, np.float32))[: hw[0], : hw[1]]
-                        ssim = ssim * 1.6 - 0.8  # in [-0.8, 0.8]
+                        if learnable:
+                            # "viewpoint" = cyclic roll of the scene base;
+                            # gs_train and gs_test frames roll differently so
+                            # cross-references are unaligned but same-content
+                            off = (17 * i + (251 if gs_split == "test" else 0),
+                                   31 * i + (83 if gs_split == "test" else 0))
+                            gt = np.roll(base_img, off, axis=(0, 1))
+                            # smooth degradation field: local noise amplitude
+                            sigma = 0.4 * _smooth_field(rng, hw, (7, 9))
+                            render = np.clip(
+                                gt + sigma[..., None] * rng.normal(0, 1, gt.shape),
+                                0, 1,
+                            ).astype(np.float32)
+                            # supervision is a deterministic monotone map of
+                            # sigma — recoverable from (query, references),
+                            # so held-out loss measures learning
+                            ssim = (1.0 - 4.0 * sigma).astype(np.float32)
+                        else:
+                            gt = rng.random((*hw, 3)).astype(np.float32)
+                            render = np.clip(
+                                gt + rng.normal(0, 0.08, gt.shape), 0, 1
+                            ).astype(np.float32)
+                            # smooth random metric maps
+                            ssim = _smooth_field(rng, hw, (6, 8)) * 1.6 - 0.8
                         mae = np.abs(render - gt).mean(-1)
 
                         image_write(base / "renders" / name, render)
@@ -89,14 +130,24 @@ def main(argv=None) -> None:
     ap.add_argument("--train-imgs", type=int, default=4)
     ap.add_argument("--test-imgs", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--learnable", action="store_true",
+                    help="supervision is a recoverable function of the "
+                         "inputs (training-quality A/Bs)")
+    ap.add_argument("--scenes", type=int, nargs=3, metavar=("TRAIN", "VAL", "TEST"),
+                    default=None, help="scenes per split")
     args = ap.parse_args(argv)
+    scenes = None
+    if args.scenes is not None:
+        scenes = {"train": args.scenes[0], "val": args.scenes[1], "test": args.scenes[2]}
     path = generate(
         args.root,
         resolution=args.resolution,
+        scenes_per_split=scenes,
         hw=tuple(args.hw),
         n_train_imgs=args.train_imgs,
         n_test_imgs=args.test_imgs,
         seed=args.seed,
+        learnable=args.learnable,
     )
     print(f"Synthetic dataset written to {path}")
 

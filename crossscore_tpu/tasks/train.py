@@ -332,6 +332,16 @@ def train(cfg) -> Path:
 
     pending_losses: list = []  # device scalars; pulled to host at log cadence
 
+    # sustained end-to-end throughput window (loader in the loop): warm up
+    # for N steps (compile + cache fill), then time to the end of the run.
+    # Timing anchors are SMALL-SCALAR host fetches — block_until_ready on a
+    # remote pytree does not synchronise through the tunnel (CLAUDE.md).
+    # Use max_steps within one epoch for a pure train window (per-epoch
+    # validation otherwise lands inside it).
+    sustain_after = int(cfg.this_main.get("sustained_report_after_steps", 0) or 0)
+    sustain_t0 = sustain_s0 = None
+    loop_steps = 0
+
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         if int(state.epoch) != epoch:
             # new epoch boundary: reset the on-device loop cursor
@@ -353,6 +363,10 @@ def train(cfg) -> Path:
             state, metrics = train_step(state, batch)
             pred_dev = metrics.pop("pred")
             global_step += 1
+            loop_steps += 1
+            if sustain_after and loop_steps == sustain_after:
+                float(metrics["loss"])  # host fetch = device sync anchor
+                sustain_t0, sustain_s0 = time.time(), global_step
             if profile_window and global_step == profile_window[1]:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -420,6 +434,15 @@ def train(cfg) -> Path:
         run_validation(epoch, global_step, limit_val)
         if proc0 and ckpt_mgr.should_save(global_step, epoch_end=True, epoch=epoch):
             ckpt_mgr.save(global_step, state)
+
+    if sustain_t0 is not None and global_step > sustain_s0:
+        float(metrics["loss"])  # end-of-window sync anchor
+        n = global_step - sustain_s0
+        ms = (time.time() - sustain_t0) / n * 1e3
+        print(f"sustained: {ms:.1f} ms/step over {n} steps (loader in loop)")
+        if logger is not None:
+            logger.log({"train/sustained_ms_per_step": ms,
+                        "train/sustained_steps": n}, global_step)
 
     if proc0 and cfg.trainer.checkpointing.save_last:
         ckpt_mgr.save(global_step, state, force=True)

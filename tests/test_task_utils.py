@@ -46,6 +46,73 @@ class TestCheckpointManager:
             mgr.restore(None, like={"x": jnp.zeros(1)})
         mgr.close()
 
+    def test_torn_save_restores_last_complete_step(self, tmp_path):
+        """Crash consistency: a save interrupted mid-write (orbax stages into
+        a ``<step>.orbax-checkpoint-tmp-*`` dir and commits by atomic rename)
+        must be invisible — a fresh manager sees the last COMPLETE step,
+        restores it, and can keep saving past the torn step."""
+        like = {"w": jnp.zeros((2, 3)), "step": jnp.asarray(0)}
+        mgr = CheckpointManager(tmp_path, train_time_interval_hours=None)
+        mgr.save(1, {"w": jnp.full((2, 3), 1.0), "step": jnp.asarray(1)}, force=True)
+        mgr.wait()
+        mgr.close()
+
+        # fabricate the on-disk residue of a writer killed mid-step-2 save:
+        # an uncommitted staging dir with partial payload files
+        torn = tmp_path / "2.orbax-checkpoint-tmp-1730000000000000"
+        (torn / "default" / "d").mkdir(parents=True)
+        (torn / "default" / "_sharding").write_bytes(b"{}")
+        (torn / "default" / "d" / "deadbeef").write_bytes(b"\x00" * 128)
+
+        mgr2 = CheckpointManager(tmp_path, train_time_interval_hours=None)
+        assert mgr2.latest_step() == 1
+        restored = mgr2.restore(None, like=like)
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones((2, 3)))
+        assert int(restored["step"]) == 1
+        # the torn step does not block re-saving it
+        mgr2.save(2, {"w": jnp.full((2, 3), 2.0), "step": jnp.asarray(2)}, force=True)
+        mgr2.wait()
+        assert mgr2.latest_step() == 2
+        back = mgr2.restore(None, like=like)
+        np.testing.assert_array_equal(np.asarray(back["w"]), np.full((2, 3), 2.0))
+        mgr2.close()
+
+    def test_sigkill_mid_async_save_recovers(self, tmp_path):
+        """Real torn write: a subprocess completes step 1, starts an ASYNC
+        step-2 save of a multi-MB state and hard-exits without waiting.
+        Whatever the disk ended up with, a fresh manager must restore a
+        CONSISTENT state: step 1, or step 2 if the commit won the race."""
+        import subprocess
+        import sys
+        import textwrap
+
+        script = textwrap.dedent(f"""
+            import os, sys
+            sys.path.insert(0, {str(__import__('pathlib').Path(__file__).resolve().parents[1])!r})
+            import jax; jax.config.update("jax_platforms", "cpu")
+            import jax.numpy as jnp
+            from crossscore_tpu.io.checkpoint import CheckpointManager
+            mgr = CheckpointManager({str(tmp_path)!r}, train_time_interval_hours=None)
+            mgr.save(1, {{"w": jnp.full((512, 1024), 1.0), "step": jnp.asarray(1)}}, force=True)
+            mgr.wait()
+            mgr.save(2, {{"w": jnp.full((512, 1024), 2.0), "step": jnp.asarray(2)}}, force=True)
+            os._exit(9)  # no wait(), no atexit: the async writer dies mid-flight
+        """)
+        proc = subprocess.run([sys.executable, "-c", script], capture_output=True, text=True)
+        assert proc.returncode == 9, proc.stderr[-2000:]
+
+        like = {"w": jnp.zeros((512, 1024)), "step": jnp.asarray(0)}
+        mgr = CheckpointManager(tmp_path, train_time_interval_hours=None)
+        step = mgr.latest_step()
+        assert step in (1, 2), f"no complete checkpoint survived: {step}"
+        restored = mgr.restore(None, like=like)
+        # consistency: payload matches the committed step, no mixed state
+        np.testing.assert_array_equal(
+            np.asarray(restored["w"]), np.full((512, 1024), float(step))
+        )
+        assert int(restored["step"]) == step
+        mgr.close()
+
 
 class TestParamsCheckpoint:
     def test_round_trip(self, tmp_path):

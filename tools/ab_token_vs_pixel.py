@@ -1,0 +1,211 @@
+"""Pixel-crop vs token-space training quality A/B at matched budgets.
+
+Token-space training (``this_main.token_space_train``, data/token_train.py)
+deviates from the reference's semantics in two documented ways: a token's
+attention context is the FULL image (the reference encodes the crop,
+reference ``task/core.py:119-161``) and crop offsets are 14px-aligned
+(196x coarser than ``dataloading/transformation/crop.py:19-23``). This tool
+answers the question those deltas raise: does a token-mode run reach the
+same HELD-OUT quality as a pixel-mode run under the same step/LR budget?
+
+Protocol:
+- one learnable synthetic corpus (``data/synthetic.py --learnable``): the
+  ssim target is a deterministic monotone map of a smooth degradation field,
+  recoverable from (query, references) — held-out loss measures learning,
+  not noise-fitting;
+- two ``tasks.train`` runs, identical seed / steps / LR schedule / model;
+  the ONLY difference is the crop mechanism (both validate on the pixel
+  eval path, so the comparison metric is apples-to-apples);
+- report: final + best validation loss / correlation per arm, plus the
+  sustained ms/step if ``--sustained`` warmup steps are given.
+
+Usage (CPU tiny, ~15 min):
+    python tools/ab_token_vs_pixel.py --out /tmp/ab_cpu
+
+On-chip medium (real TPU; background it):
+    python tools/ab_token_vs_pixel.py --preset tpu-medium --out /tmp/ab_tpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# arm-invariant override sets; the corpus geometry must keep crop <= trimmed
+# image in BOTH modes (token mode %14-trims full images first)
+PRESETS = {
+    # dinov2-test tiny model, CPU, ~15 min total on the 1-core host
+    "cpu-tiny": dict(
+        accel="cpu",
+        hw=(112, 140),
+        scenes=(4, 2, 1),
+        n_train=6,
+        n_test=4,
+        base=[
+            "model.tpu.compute_dtype=float32",
+            "model.backbone.preset=dinov2-test",
+            "data.neighbour_config.cross=2",
+            "data.loader.train.batch_size=4",
+            "data.loader.validation.batch_size=4",
+            "data.transforms.crop_size=84",
+            "this_main.resize_short_side=-1",
+            "trainer.max_epochs=80",
+            "trainer.optimizer.lr=1e-3",
+            "trainer.num_sanity_val_steps=0",
+            "logger.vis_imgs_every_n_train_steps=100000",
+            "logger.vis_histogram_every_n_train_steps=100000",
+        ],
+    ),
+    # dinov2-small production shapes on the real chip; corpus matches the
+    # reference res_540 geometry (540x720, crop 518)
+    "tpu-medium": dict(
+        accel="tpu",
+        hw=(540, 720),
+        scenes=(6, 2, 1),
+        n_train=10,
+        n_test=6,
+        base=[
+            "model.backbone.preset=dinov2-small",
+            "data.neighbour_config.cross=5",
+            "data.loader.train.batch_size=24",
+            "data.loader.validation.batch_size=24",
+            "data.transforms.crop_size=518",
+            "this_main.resize_short_side=-1",
+            "trainer.max_epochs=60",
+            "trainer.max_steps=300",
+            "trainer.optimizer.lr=3e-4",
+            "trainer.num_sanity_val_steps=0",
+            "trainer.limit_val_batches=6",
+            "logger.vis_imgs_every_n_train_steps=100000",
+            "logger.vis_histogram_every_n_train_steps=100000",
+        ],
+    ),
+}
+
+
+def ensure_corpus(root: Path, preset: dict, pack_records: bool) -> list[str]:
+    """Generate the learnable corpus (+ optional decoded record shards);
+    return the dataset overrides."""
+    res_dir = root / "res_540"
+    if not (res_dir / "split.json").exists():
+        sys.path.insert(0, str(REPO))
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from crossscore_tpu.data.synthetic import generate
+
+        t0 = time.time()
+        generate(
+            root,
+            hw=preset["hw"],
+            scenes_per_split={
+                "train": preset["scenes"][0],
+                "val": preset["scenes"][1],
+                "test": preset["scenes"][2],
+            },
+            n_train_imgs=preset["n_train"],
+            n_test_imgs=preset["n_test"],
+            learnable=True,
+        )
+        print(f"corpus generated in {time.time() - t0:.0f}s -> {root}")
+    overrides = [f"data.dataset.path=[{root}]"]
+    if pack_records:
+        rec = root / "records_decoded"
+        if not (rec / "index.npz").exists():
+            from crossscore_tpu.data.records import pack
+
+            t0 = time.time()
+            pack(root, rec, shard_mb=512, decoded=True)
+            print(f"decoded record shards packed in {time.time() - t0:.0f}s -> {rec}")
+        overrides.append(f"data.dataset.record_dir={rec}")
+    return overrides
+
+
+def run_arm(name: str, out_dir: Path, overrides: list[str], accel: str) -> dict:
+    """Run one tasks.train arm in a subprocess; parse run_dir + metrics."""
+    env = dict(os.environ)
+    # APPEND to PYTHONPATH: overwriting drops the axon TPU plugin (CLAUDE.md)
+    env["PYTHONPATH"] = f"{REPO}:" + env.get("PYTHONPATH", "/root/.axon_site")
+    cmd = [sys.executable, "-m", "crossscore_tpu.tasks.train",
+           f"trainer.accelerator={accel}", f"run.dir={out_dir}",
+           f"alias={name}"] + overrides
+    print(f"[{name}] {' '.join(cmd[2:])}", flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=env, cwd=out_dir, capture_output=True, text=True)
+    wall = time.time() - t0
+    sys.stdout.write(proc.stdout[-2000:])
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"arm {name} failed (rc={proc.returncode})")
+    m = re.search(r"train done: (\d+) steps -> (.+)", proc.stdout)
+    steps, run_dir = int(m.group(1)), Path(m.group(2))
+    if not run_dir.is_absolute():
+        run_dir = out_dir / run_dir
+    res = {"arm": name, "steps": steps, "wall_s": round(wall, 1)}
+    sus = re.search(r"sustained: ([\d.]+) ms/step over (\d+) steps", proc.stdout)
+    if sus:
+        res["sustained_ms_per_step"] = float(sus.group(1))
+        res["sustained_steps"] = int(sus.group(2))
+    vals = []
+    with open(run_dir / "metrics.jsonl") as f:
+        for line in f:
+            row = json.loads(line)
+            if "validation/loss" in row:
+                vals.append(row)
+    if vals:
+        res["final_val_loss"] = vals[-1]["validation/loss"]
+        res["final_val_corr"] = vals[-1]["validation/correlation_cross"]
+        res["best_val_loss"] = min(v["validation/loss"] for v in vals)
+        res["best_val_corr"] = max(v["validation/correlation_cross"] for v in vals)
+        res["val_curve"] = [
+            (v["step"], round(v["validation/loss"], 5)) for v in vals
+        ]
+    return res
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--preset", choices=PRESETS, default="cpu-tiny")
+    ap.add_argument("--out", default="/tmp/ab_token_vs_pixel")
+    ap.add_argument("--data", default=None, help="corpus root (default <out>/data)")
+    ap.add_argument("--records", action="store_true",
+                    help="pack + train from decoded record shards")
+    ap.add_argument("--sustained", type=int, default=0,
+                    help="warmup steps before the sustained-timing window")
+    ap.add_argument("--arm", choices=["pixel", "token", "both"], default="both")
+    args = ap.parse_args(argv)
+
+    preset = PRESETS[args.preset]
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    data_root = Path(args.data) if args.data else out / "data"
+    ds_overrides = ensure_corpus(data_root, preset, args.records)
+
+    base = preset["base"] + ds_overrides
+    if args.sustained:
+        base = base + [f"this_main.sustained_report_after_steps={args.sustained}"]
+    results = []
+    if args.arm in ("pixel", "both"):
+        results.append(run_arm("pixel", out, base, preset["accel"]))
+    if args.arm in ("token", "both"):
+        results.append(
+            run_arm("token", out, base + ["this_main.token_space_train=true"],
+                    preset["accel"])
+        )
+
+    report = {"preset": args.preset, "records": args.records, "arms": results}
+    with open(out / "ab_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
