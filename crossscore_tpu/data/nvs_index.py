@@ -151,7 +151,14 @@ class NvsDataset:
             self.reference_crop = None
 
         if resolution is None:
-            resolution = sorted(os.listdir(dataset_path))[0]
+            # the reference discovers resolutions as res_* dirs (reference
+            # dataloading/dataset/nvs_dataset.py:122-131); restricting the
+            # auto-pick the same way keeps sibling dirs (e.g. packed record
+            # shards) from being mistaken for a resolution
+            res_dirs = sorted(
+                n for n in os.listdir(dataset_path) if n.startswith("res")
+            ) or sorted(os.listdir(dataset_path))
+            resolution = res_dirs[0]
         self.dataset_path = Path(dataset_path, resolution)
 
         with open(self.dataset_path / "split.json") as f:

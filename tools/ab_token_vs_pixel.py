@@ -118,7 +118,9 @@ def ensure_corpus(root: Path, preset: dict, pack_records: bool) -> list[str]:
         print(f"corpus generated in {time.time() - t0:.0f}s -> {root}")
     overrides = [f"data.dataset.path=[{root}]"]
     if pack_records:
-        rec = root / "records_decoded"
+        # sibling of the dataset root, NOT inside it: NvsDataset discovers
+        # res_* resolution dirs under the root
+        rec = root.with_name(root.name + "_records")
         if not (rec / "index.npz").exists():
             from crossscore_tpu.data.records import pack
 
