@@ -589,6 +589,7 @@ def make_server(cfg):
     from urllib.parse import parse_qs, urlparse
 
     scorer = Scorer(cfg)
+    max_body = int(float(cfg.this_main.get("serve_max_body_mb", 64)) * 1024 * 1024)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # stdout, one line, no reverse DNS
@@ -634,8 +635,21 @@ def make_server(cfg):
             url = urlparse(self.path)
             q = parse_qs(url.query)
             map_mode = q.get("map", ["none"])[0]
+            n_body = int(self.headers.get("Content-Length", 0))
+            if max_body and n_body > max_body:
+                # typed 4xx BEFORE the body is read or decoded: a misdirected
+                # multi-GB upload must not tie up a handler thread in decode.
+                # The unread body makes the connection unusable — close it.
+                self.close_connection = True
+                self._send_json(
+                    413,
+                    {"error": f"PayloadTooLarge: body is {n_body} bytes; the "
+                              f"daemon caps requests at serve_max_body_mb="
+                              f"{max_body // (1024 * 1024)}"},
+                )
+                return
             try:
-                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                body = self.rfile.read(n_body)
                 want_map = map_mode in ("npy", "png")
                 if url.path == "/score":
                     self._respond_scored(scorer.score_bytes(body, want_map), map_mode)

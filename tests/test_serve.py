@@ -403,6 +403,100 @@ class TestHTTP:
         assert e.value.code == 400
         assert "error" in json.loads(e.value.read())
 
+    def test_oversized_payload_typed_413_before_read(self, server):
+        """A request whose Content-Length exceeds serve_max_body_mb is
+        rejected with a typed 413 BEFORE the body is read: the response
+        arrives even though the client never sends a byte of the claimed
+        65 MB payload (so a misdirected upload can't tie a handler thread
+        up in transfer+decode)."""
+        import http.client
+
+        srv, _ = server
+        host, port = srv.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        try:
+            conn.putrequest("POST", "/score")
+            conn.putheader("Content-Length", str(65 * 1024 * 1024))
+            conn.endheaders()  # body intentionally NEVER sent
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 413
+            assert "PayloadTooLarge" in body["error"]
+            assert "serve_max_body_mb" in body["error"]
+        finally:
+            conn.close()
+
+    def test_reload_during_request_storm(self, ws, tmp_path):
+        """Hot reload issued mid-storm: every in-flight and subsequent request
+        gets a valid response computed entirely with ONE checkpoint's weights+
+        tokens — nothing dropped, no old-params/new-tokens hybrids — because
+        the swap and each dispatch's weight capture share the dispatch lock."""
+        import threading as th
+
+        import jax
+
+        from crossscore_tpu.io.checkpoint import save_params
+        from crossscore_tpu.tasks.common import parse_cli
+        from crossscore_tpu.tasks.serve import make_server
+
+        q_dir, ref_dir = _dirs(ws)
+        cfg = parse_cli(
+            "default_predict",
+            OVERRIDES
+            + [
+                f"data.dataset.reference_dir={ref_dir}",
+                "this_main.serve_max_batch=4",
+                "this_main.serve_batch_window_ms=5",
+            ],
+        )
+        srv, scorer = make_server(cfg)
+        th.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            p = os.path.join(q_dir, sorted(os.listdir(q_dir))[0])
+            body = open(p, "rb").read()
+            mean_a = scorer.score_path(p, want_map=False)["mean_score"]
+            save_params(tmp_path / "B", jax.tree_util.tree_map(
+                lambda x: np.asarray(x) * 1.5, scorer.params))
+
+            n_workers, per_worker = 6, 4
+            results, errors = [], []
+
+            def worker():
+                for _ in range(per_worker):
+                    try:
+                        req = urllib.request.Request(
+                            _url(srv, "/score"), data=body, method="POST"
+                        )
+                        with urllib.request.urlopen(req, timeout=300) as r:
+                            results.append(json.loads(r.read())["mean_score"])
+                    except Exception as e:  # pragma: no cover - failure detail
+                        errors.append(repr(e))
+
+            threads = [th.Thread(target=worker) for _ in range(n_workers)]
+            for t in threads:
+                t.start()
+            # fire the reload while the storm is in flight
+            req = urllib.request.Request(
+                _url(srv, "/reload"),
+                data=json.dumps({"ckpt": str(tmp_path / "B")}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert json.loads(r.read())["status"] == "reloaded"
+            for t in threads:
+                t.join()
+
+            mean_b = scorer.score_path(p, want_map=False)["mean_score"]
+            gap = abs(mean_b - mean_a)
+            assert gap > 3e-4, "reload must change scores for this test to bite"
+            assert errors == []  # nothing dropped or errored
+            assert len(results) == n_workers * per_worker
+            tol = min(1e-5, gap / 10)
+            for m in results:  # each response is pure-A or pure-B
+                assert min(abs(m - mean_a), abs(m - mean_b)) < tol
+        finally:
+            srv.shutdown()
+
 
 class TestClient:
     """crossscore_tpu/client.py — the programmatic counterpart of the HTTP
