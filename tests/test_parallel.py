@@ -136,6 +136,43 @@ class TestSPMDTrainStep:
             atol=1e-5,
         )
 
+    def test_tp_step_matches_dp_vitl_dims(self):
+        """TP=2 at ViT-L head geometry — hidden 1024 / 16 heads (hd 64) in the
+        backbone, d_model 1024 / 8 heads in the decoder — so the Megatron
+        split is exercised at the representative head counts of BASELINE
+        config #5 (layers truncated to 2 and a 4x4 grid for CPU speed)."""
+        vit = ViTConfig(hidden_size=1024, num_layers=2, num_heads=16,
+                        patch_size=14, image_size=56)
+        mcfg = CrossScoreConfig(backbone=vit, pe_h=6, pe_w=6, decoder_heads=8)
+        model = CrossScoreNet(mcfg)
+        b1 = _batch(np.random.default_rng(7), 1)
+        params = model.init(
+            jax.random.PRNGKey(0), b1["query/img"], b1["reference/cross/imgs"]
+        )["params"]
+        cfg = load_config("default")
+        tx, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        batch = _batch(np.random.default_rng(8), 4)
+
+        step = make_train_step(model, tx)
+        ref_state, ref_metrics = jax.jit(step)(create_train_state(params, tx), batch)
+
+        mesh = make_mesh(8, model_parallel=2)
+        sh = param_shardings(params, mesh)
+        # the split dims must actually shard at these widths
+        assert sh["backbone"]["block_0"]["attn"]["qkv"]["kernel"].spec == P(None, "model")
+        sparams = jax.device_put(params, sh)
+        state = create_train_state(sparams, tx)
+        new_state, metrics = jax.jit(step)(state, shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["head_fc2"]["kernel"]),
+            np.asarray(ref_state.params["head_fc2"]["kernel"]),
+            atol=2e-5,
+        )
+
     def test_tp_step_matches_dp_pallas_kernel(self, model_and_params):
         """TP with the PALLAS kernel (attention_impl=tp:model): the flash
         kernel runs under shard_map with heads sharded over the model axis —
