@@ -431,7 +431,10 @@ def train(cfg) -> Path:
         if stop:
             break
 
-        run_validation(epoch, global_step, limit_val)
+        # Lightning semantics: validate when (epoch+1) % n == 0 (the
+        # reference leaves the Trainer default n=1)
+        if (epoch + 1) % max(1, int(cfg.trainer.get("check_val_every_n_epoch", 1) or 1)) == 0:
+            run_validation(epoch, global_step, limit_val)
         if proc0 and ckpt_mgr.should_save(global_step, epoch_end=True, epoch=epoch):
             ckpt_mgr.save(global_step, state)
 

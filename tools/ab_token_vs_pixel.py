@@ -79,11 +79,14 @@ PRESETS = {
             "data.loader.validation.batch_size=24",
             "data.transforms.crop_size=518",
             "this_main.resize_short_side=-1",
-            "trainer.max_epochs=60",
+            "trainer.max_epochs=80",
             "trainer.max_steps=300",
             "trainer.optimizer.lr=3e-4",
             "trainer.num_sanity_val_steps=0",
             "trainer.limit_val_batches=6",
+            # epochs are ~4 steps on the A/B corpus; validating every epoch
+            # would dominate wall time on the 1-core host
+            "trainer.check_val_every_n_epoch=4",
             "logger.vis_imgs_every_n_train_steps=100000",
             "logger.vis_histogram_every_n_train_steps=100000",
         ],
