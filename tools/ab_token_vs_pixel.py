@@ -186,6 +186,10 @@ def main(argv=None):
     ap.add_argument("--sustained", type=int, default=0,
                     help="warmup steps before the sustained-timing window")
     ap.add_argument("--arm", choices=["pixel", "token", "both"], default="both")
+    ap.add_argument("--extra", action="append", default=[],
+                    help="extra dotted overrides appended to both arms (e.g. "
+                         "trainer.max_steps=150 for a pure sustained-window "
+                         "run with validation pushed out of the window)")
     args = ap.parse_args(argv)
 
     preset = PRESETS[args.preset]
@@ -194,7 +198,7 @@ def main(argv=None):
     data_root = Path(args.data) if args.data else out / "data"
     ds_overrides = ensure_corpus(data_root, preset, args.records)
 
-    base = preset["base"] + ds_overrides
+    base = preset["base"] + ds_overrides + list(args.extra)
     if args.sustained:
         base = base + [f"this_main.sustained_report_after_steps={args.sustained}"]
     results = []
