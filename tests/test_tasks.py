@@ -127,6 +127,26 @@ class TestTrainTask:
         steps = [r["step"] for r in rows2 if "train/loss" in r]
         assert steps and min(steps) > min(r["step"] for r in rows if "train/loss" in r)
 
+    def test_check_val_every_n_epoch(self, ws):
+        """Lightning's check_val_every_n_epoch semantics: validation runs
+        when (epoch+1) % n == 0 — 3 epochs at n=2 validate exactly once."""
+        from crossscore_tpu.tasks.train import main
+
+        run_dir = main(SMALL_OVERRIDES + [
+            "data.dataset.path=[datadir]",
+            "data.loader.train.batch_size=2",
+            "data.loader.validation.batch_size=2",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=-1",
+            "trainer.num_sanity_val_steps=0",
+            "trainer.limit_val_batches=1",
+            "trainer.max_epochs=3",
+            "trainer.check_val_every_n_epoch=2",
+            "alias=valcad",
+        ])
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert sum("validation/loss" in r for r in rows) == 1
+
     def test_mid_epoch_resume_identical_trajectory(self, ws):
         """Kill training mid-epoch, resume from the checkpoint: the loss
         trajectory must be identical to an uninterrupted run (the loop cursor
