@@ -203,12 +203,16 @@ class TorchStyleMHA(nn.Module):
                 bq, bk, _ = pick_cross_ln_prepad(nq, kv_valid)
             else:
                 bq, bk = pick_cross_ln_blocks(nq, nk)
+            # hd_true: fwd QK + the whole backward contract only the 48 true
+            # lanes of the 64-padded packing (exact — pad lanes are zero;
+            # ~13% off the bwd kernel, tools/lane_pad_probe.py)
+            hd_true = hd if hd < hd_pad else 0
             if kv_bias is not None:
                 o = flash_cross_attention_ln_masked(qp, kp, vp, kv_bias, h,
-                                                    hd_pad, bq, bk)
+                                                    hd_pad, bq, bk, hd_true)
             else:
                 o = flash_cross_attention_ln(qp, kp, vp, h, hd_pad, bq, bk,
-                                             kv_valid)
+                                             kv_valid, hd_true)
             out = HeadLaneOutProj(self.d_model, h, hd, hd_pad,
                                   dtype=self.dtype, name="out_proj")(o)
             return out, None

@@ -798,7 +798,7 @@ def tp_flash_cross_attention(q, k, v, axis: str):
 
 def _fwd_kernel_cross_ln(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
                          m_scr, l_scr, acc_scr, *, c1: float, hd: int,
-                         hpack: int, per_item: bool = False):
+                         hpack: int, hd_t: int = 0, per_item: bool = False):
     """Layout-native CROSS-attention kernel (decoder): q/k/v arrive token-major
     with the head axis packed into lanes at a PADDED head dim (hd zero-padded
     so ``hpack`` heads fill one 128-lane block — zero lanes change nothing:
@@ -821,9 +821,16 @@ def _fwd_kernel_cross_ln(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
 
     # per_item: the bias block holds ALL batch rows (see _fwd_kernel_qkv_biased)
     bias_row = bias_ref[pl.program_id(0)] if per_item else bias_ref[0]
+    # hd_t < hd: contract QK over the TRUE head dim only — pad lanes are
+    # structurally zero (HeadLaneProj) so the narrower contraction is exact,
+    # and the MXU skips the pad arithmetic (tools/lane_pad_probe.py). PV keeps
+    # the full hd slice: its saving would be in OUTPUT width, which costs the
+    # same 128-lane tile either way, and narrowing it would force a padded
+    # store of o/acc.
+    hd_c = hd_t if 0 < hd_t < hd else hd
     for j in range(hpack):
-        q = q_ref[0][:, j * hd:(j + 1) * hd]
-        k = k_ref[0][:, j * hd:(j + 1) * hd]
+        q = q_ref[0][:, j * hd:j * hd + hd_c]
+        k = k_ref[0][:, j * hd:j * hd + hd_c]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
@@ -852,10 +859,10 @@ def _fwd_kernel_cross_ln(bias_ref, q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_q",
-                                             "block_k", "kv_valid"))
+                                             "block_k", "kv_valid", "hd_true"))
 def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
                         block_q: int = 0, block_k: int = 1024, kv_bias=None,
-                        kv_valid: int = 0):
+                        kv_valid: int = 0, hd_true: int = 0):
     """qp: (B, Nq, H*hd); kp/vp: (B, Nk, H*hd) token-major, head dim PADDED so
     ``hpack = 128 // hd`` heads fill a lane block (hd must divide 128).
     Returns (o (B, Nq, H*hd), l, m (B, H, Nq)). The softmax scale is
@@ -900,7 +907,7 @@ def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
     grid = (b, nlb, pl.cdiv(nq, block_q), nk_p // block_k)
     kernel = functools.partial(
         _fwd_kernel_cross_ln, c1=sm_scale * LOG2E, hd=hd, hpack=hpack,
-        per_item=per_item,
+        hd_t=hd_true, per_item=per_item,
     )
     o, l, m = pl.pallas_call(
         kernel,
@@ -942,7 +949,7 @@ def _flash_cross_ln_fwd(qp, kp, vp, num_heads: int, hd: int,
 def _bwd_kernel_cross_ln(bias_ref, qp_ref, dop_ref, kp_ref, vp_ref, lb_ref,
                          delta_ref, dq_ref, dk_ref, dv_ref, dq_scr, *,
                          c1: float, sm_scale: float, hd: int, hpack: int,
-                         q_chunks: int, cq: int):
+                         q_chunks: int, cq: int, hd_t: int = 0):
     """Layout-native flash backward for the decoder cross-attention (token-
     major packed (B, N, H*hd) arrays, ``hpack`` heads per 128-lane block —
     the same layout as ``_fwd_kernel_cross_ln``, so training needs NO
@@ -965,8 +972,14 @@ def _bwd_kernel_cross_ln(bias_ref, qp_ref, dop_ref, kp_ref, vp_ref, lb_ref,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
+    # hd_t < hd: every slice narrows to the TRUE head dim at the SAME packed
+    # stride — pad lanes are structurally zero (HeadLaneProj's jnp.pad, whose
+    # VJP also discards pad-lane cotangents), so all five matmuls per
+    # (head, q-chunk) skip the 25% pad arithmetic exactly
+    # (tools/lane_pad_probe.py: hd48 strided measured ~= contiguous hd48).
+    hd_c = hd_t if 0 < hd_t < hd else hd
     for j in range(hpack):
-        lane = slice(j * hd, (j + 1) * hd)
+        lane = slice(j * hd, j * hd + hd_c)
         k = kp_ref[0][:, lane]
         v = vp_ref[0][:, lane]
         dk_acc = None
@@ -994,8 +1007,12 @@ def _bwd_kernel_cross_ln(bias_ref, qp_ref, dop_ref, kp_ref, vp_ref, lb_ref,
             )
             dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
             dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
-        dk_ref[0, :, lane] = dk_acc.astype(dk_ref.dtype)
-        dv_ref[0, :, lane] = dv_acc.astype(dv_ref.dtype)
+        if hd_c < hd:  # zero-fill pad lanes: one contiguous hd-wide store
+            dk_acc = jnp.pad(dk_acc, ((0, 0), (0, hd - hd_c)))
+            dv_acc = jnp.pad(dv_acc, ((0, 0), (0, hd - hd_c)))
+        full = slice(j * hd, (j + 1) * hd)
+        dk_ref[0, :, full] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, full] = dv_acc.astype(dv_ref.dtype)
 
     @pl.when(kvi == nkv - 1)
     def _store():
@@ -1003,10 +1020,11 @@ def _bwd_kernel_cross_ln(bias_ref, qp_ref, dop_ref, kp_ref, vp_ref, lb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "hd", "block_k",
-                                             "qc_budget", "kv_valid"))
+                                             "qc_budget", "kv_valid",
+                                             "hd_true"))
 def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
                          block_k: int = 1024, qc_budget: int = 300_000,
-                         kv_valid: int = 0):
+                         kv_valid: int = 0, hd_true: int = 0):
     """Token-major packed backward. qp/kp/vp/o/do: (B, N, H*hd) with hd the
     PADDED head dim; l, m: (B, H, Nq) in the forward's head order
     (h = lane_block * hpack + sub). Returns token-major (dq, dk, dv).
@@ -1048,8 +1066,9 @@ def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
 
     kernel = functools.partial(
         _bwd_kernel_cross_ln, c1=sm_scale * LOG2E, sm_scale=sm_scale, hd=hd,
-        hpack=hpack, q_chunks=q_chunks, cq=cq,
+        hpack=hpack, q_chunks=q_chunks, cq=cq, hd_t=hd_true,
     )
+    hd_c = hd_true if 0 < hd_true < hd else hd
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b, nlb, nk_p // block_k),
@@ -1074,7 +1093,7 @@ def _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads: int, hd: int,
         ],
         scratch_shapes=[pltpu.VMEM((nq_p, LANES), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=10 * b * h * nq_p * nk_p * hd,
+            flops=10 * b * h * nq_p * nk_p * hd_c,
             bytes_accessed=b * (4 * nq_p * (nk_p // block_k) + 4 * nk_p) * dtot * 2 // nlb,
             transcendentals=b * h * nq_p * nk_p,
         ),
@@ -1125,10 +1144,10 @@ def pick_cross_ln_blocks(nq: int, nk: int) -> tuple[int, int]:
     return _ceil_to(-(-nq // n_splits), 8), bk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_cross_attention_ln(qp, kp, vp, num_heads: int, hd: int,
                              block_q: int = 0, block_k: int = 1024,
-                             kv_valid: int = 0):
+                             kv_valid: int = 0, hd_true: int = 0):
     """Layout-native cross-attention on token-major packed projections.
 
     qp/kp/vp: (B, N, H*hd) with hd the PADDED head dim (128 % hd == 0; pad
@@ -1140,10 +1159,16 @@ def flash_cross_attention_ln(qp, kp, vp, num_heads: int, hd: int,
 
     ``kv_valid`` > 0: kp/vp arrive PRE-padded along tokens to a block_k
     multiple with only the first ``kv_valid`` rows real — fwd AND bwd mask
-    the pad columns (p == 0 there, so dk/dv pad rows are exactly 0)."""
+    the pad columns (p == 0 there, so dk/dv pad rows are exactly 0).
+
+    ``hd_true`` (0 < hd_true < hd): the TRUE head dim when hd is padded —
+    fwd QK and all five bwd matmuls contract/emit only the true lanes at the
+    same packed stride, skipping the pad arithmetic exactly (pad lanes are
+    structurally zero; measured ~13% off the bwd kernel at 48/64,
+    tools/lane_pad_probe.py)."""
     o, _, _ = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd,
                                   block_q=block_q, block_k=block_k,
-                                  kv_valid=kv_valid)
+                                  kv_valid=kv_valid, hd_true=hd_true)
     return o
 
 
@@ -1152,14 +1177,16 @@ def _split_packed(x, h, hd):
     return x.reshape(b, n, h, hd).transpose(0, 2, 1, 3)  # (B, H, N, hd)
 
 
-def _fcaln_fwd(qp, kp, vp, num_heads, hd, block_q, block_k, kv_valid):
+def _fcaln_fwd(qp, kp, vp, num_heads, hd, block_q, block_k, kv_valid,
+               hd_true):
     o, l, m = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd,
                                   block_q=block_q, block_k=block_k,
-                                  kv_valid=kv_valid)
+                                  kv_valid=kv_valid, hd_true=hd_true)
     return o, (qp, kp, vp, o, l, m)
 
 
-def _fcaln_bwd(num_heads, hd, block_q, block_k, kv_valid, residuals, do):
+def _fcaln_bwd(num_heads, hd, block_q, block_k, kv_valid, hd_true, residuals,
+               do):
     qp, kp, vp, o, l, m = residuals
     # bk=768/420k: best of the r3 block sweep (tools/bwd_microbench.py —
     # 18.09 ms/layer vs 18.56 at bk=512/300k; bk=1024 needs q chunks too small
@@ -1172,7 +1199,7 @@ def _fcaln_bwd(num_heads, hd, block_q, block_k, kv_valid, residuals, do):
         bk = PREPAD_BLOCK_K
     return _bwd_cross_ln_pallas(qp, kp, vp, o, do, l, m, num_heads, hd,
                                 block_k=bk, qc_budget=420_000,
-                                kv_valid=kv_valid)
+                                kv_valid=kv_valid, hd_true=hd_true)
 
 
 flash_cross_attention_ln.defvjp(_fcaln_fwd, _fcaln_bwd)
@@ -1180,10 +1207,11 @@ flash_cross_attention_ln.defvjp(_fcaln_fwd, _fcaln_bwd)
 
 def flash_cross_attention_ln_masked(qp, kp, vp, kv_bias, num_heads: int,
                                     hd: int, block_q: int = 0,
-                                    block_k: int = 1024):
+                                    block_k: int = 1024, hd_true: int = 0):
     """Forward-only masked variant (shape-bucketed inference)."""
     o, _, _ = _flash_cross_ln_fwd(qp, kp, vp, num_heads, hd, block_q=block_q,
-                                  block_k=block_k, kv_bias=kv_bias)
+                                  block_k=block_k, kv_bias=kv_bias,
+                                  hd_true=hd_true)
     return o
 
 

@@ -173,6 +173,40 @@ class TestLayoutNativeCross:
         # padded output lanes are exactly zero
         np.testing.assert_array_equal(np.asarray(o).reshape(b, nq, h, 64)[..., hd:], 0)
 
+    def test_hd_true_matches_padded_path(self, rng):
+        """hd_true=48 (narrow QK fwd + narrow-everything bwd on the 64-pad
+        packing) is EXACT vs the full-width path: the skipped lanes are
+        structurally zero, so fwd output, dq, dk, dv and the zero pad-lane
+        grads must all match to float exactness."""
+        from crossscore_tpu.ops.flash_attention import flash_cross_attention_ln
+
+        b, h, hd, nq, nk = 2, 4, 48, 37, 3 * 37  # 2 lane blocks, K=3 views
+        (q, k, v), _ = self._packed(rng, b, h, nq, nk, hd)
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 64 - hd)))
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], h * 64)
+        prescale = (64 ** 0.5) / (hd ** 0.5)
+        qp, kp, vp = pack(pad(q * prescale)), pack(pad(k)), pack(pad(v))
+
+        def loss(qp, kp, vp, hd_true):
+            o = flash_cross_attention_ln(qp, kp, vp, h, 64, 0, 128, 0, hd_true)
+            return jnp.sum(jnp.square(o) * jnp.cos(o)), o
+
+        g_ref, o_ref = (
+            jax.grad(lambda *a: loss(*a, 0)[0], argnums=(0, 1, 2))(qp, kp, vp),
+            loss(qp, kp, vp, 0)[1],
+        )
+        g_nt, o_nt = (
+            jax.grad(lambda *a: loss(*a, hd)[0], argnums=(0, 1, 2))(qp, kp, vp),
+            loss(qp, kp, vp, hd)[1],
+        )
+        np.testing.assert_array_equal(np.asarray(o_nt), np.asarray(o_ref))
+        for a, b_ in zip(g_nt, g_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        # pad-lane grads are exactly zero in the narrow path
+        for g in g_nt:
+            g4 = np.asarray(g).reshape(b, -1, h, 64)
+            np.testing.assert_array_equal(g4[..., hd:], 0)
+
     def test_grads_match_dense(self, rng):
         from crossscore_tpu.ops.flash_attention import flash_cross_attention_ln
 

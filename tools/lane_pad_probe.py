@@ -71,17 +71,17 @@ def main():
     nk_p = _ceil_to(nk, block_k)
 
     def probe_kernel(qp_ref, dop_ref, kp_ref, vp_ref, dq_ref, dk_ref, dv_ref,
-                     dq_scr, *, hd_s: int, q_chunks: int, cq: int):
+                     dq_scr, *, hd_s: int, stride: int, q_chunks: int, cq: int):
         kvi = pl.program_id(1)
 
         @pl.when(kvi == 0)
         def _init():
             dq_scr[...] = jnp.zeros_like(dq_scr)
 
-        n_slices = LANES // hd_s if hd_s >= 64 else 2  # hd48: 2 heads, 96 lanes
+        n_slices = 1 if hd_s == LANES else 2  # 2 heads per 128-lane block
         c1 = 0.1442695
         for j in range(n_slices):
-            lane = slice(j * hd_s, j * hd_s + hd_s)
+            lane = slice(j * stride, j * stride + hd_s)
             k = kp_ref[0][:, lane]
             v = vp_ref[0][:, lane]
             dk_acc = None
@@ -120,10 +120,10 @@ def main():
         def _store():
             dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
-    @functools.partial(jax.jit, static_argnames=("hd_s",))
-    def run(qp, dop, kp, vp, hd_s: int):
+    @functools.partial(jax.jit, static_argnames=("hd_s", "stride"))
+    def run(qp, dop, kp, vp, hd_s: int, stride: int):
         kernel = functools.partial(
-            probe_kernel, hd_s=hd_s, q_chunks=q_chunks, cq=cq
+            probe_kernel, hd_s=hd_s, stride=stride, q_chunks=q_chunks, cq=cq
         )
         return pl.pallas_call(
             kernel,
@@ -166,13 +166,19 @@ def main():
           f"per layer, x2 layers for step impact)", flush=True)
 
     results = {}
-    for name, hd_s in [("hd64_current", 64), ("hd48_nopad", 48),
-                       ("hd128_fused", 128)]:
+    # hd48_off64: 48 useful lanes sliced at the CURRENT 64-stride packing —
+    # the zero-diff implementation (no repack, no forward change; pad-lane
+    # cotangents are discarded by HeadLaneProj's jnp.pad VJP anyway)
+    for name, hd_s, stride in [("hd64_current", 64, 64),
+                               ("hd48_nopad", 48, 48),
+                               ("hd48_off64", 48, 64),
+                               ("hd128_fused", 128, 128)]:
         @jax.jit
         def loop(qp, dop, kp, vp):
             def body(i, acc):
                 scale = 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
-                dq, dk, dv = run(qp * scale, dop, kp, vp, hd_s=hd_s)
+                dq, dk, dv = run(qp * scale, dop, kp, vp, hd_s=hd_s,
+                                 stride=stride)
                 return acc + dq[0, 0, 0].astype(jnp.float32)
 
             return jax.lax.fori_loop(0, N_IT, body, jnp.float32(0.0))
@@ -194,12 +200,15 @@ def main():
         print(f"{name:14s} {dt * 1e3:7.2f} ms ({flops / dt / 1e12:5.1f} "
               f"useful TFLOP/s)", flush=True)
 
-    if "hd64_current" in results and "hd48_nopad" in results:
-        d64, d48 = results["hd64_current"], results["hd48_nopad"]
+    d64 = results.get("hd64_current")
+    for variant in ("hd48_nopad", "hd48_off64"):
+        if d64 is None or variant not in results:
+            continue
+        d48 = results[variant]
         # this probe covers ONE of the backward's 4 lane blocks (d_model 512
         # packed = 4x128); per-step impact = diff x 4 blocks x 2 layers
         step_gain_ms = (d64 - d48) * 4 * 2 * 1e3
-        print(f"\nno-pad saving: {(d64 - d48) * 1e3:.2f} ms/block-call -> "
+        print(f"\n{variant} saving: {(d64 - d48) * 1e3:.2f} ms/block-call -> "
               f"~{step_gain_ms:.2f} ms/step (2 layers, 4 lane blocks) "
               f"= {step_gain_ms / 67.5 * 100:.1f}% of the 67.5 ms token step",
               flush=True)
