@@ -84,6 +84,7 @@ def main() -> None:
                 "latency_ms": {
                     "p50": round(pct(0.50), 1),
                     "p95": round(pct(0.95), 1),
+                    "p99": round(pct(0.99), 1),
                     "max": round(lat[-1] * 1e3, 1) if n else None,
                 },
                 "daemon": {
