@@ -59,14 +59,14 @@ def main():
         if vmem_kib else {}
     )
 
-    def time_cfg(block_k, budget):
+    def time_cfg(block_k, budget, hd_true=0):
         @functools.partial(jax.jit, **jit_kw)
         def loop(qp, kp, vp, o, do, l, m):
             def body(i, carry):
                 scale = 1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
                 dq, dk, dv = _bwd_cross_ln_pallas(
                     qp * scale, kp, vp, o, do, l, m, h, hd,
-                    block_k=block_k, qc_budget=budget,
+                    block_k=block_k, qc_budget=budget, hd_true=hd_true,
                 )
                 return carry + dq[0, 0, 0].astype(jnp.float32)
 
@@ -86,18 +86,22 @@ def main():
             print(f"  WARNING: {dt*1e3:.2f} ms below sanity floor — memoised?")
         return dt
 
-    for block_k, budget in [
-        (512, 300_000), (512, 480_000), (512, 700_000),
-        (768, 300_000), (768, 420_000),
-        (1024, 300_000), (1024, 240_000),
-        (256, 300_000),
+    # hd_true=48: skip the pad-lane arithmetic of the 48->64 packing (the
+    # production decoder path since r4); 0 = full padded width
+    for block_k, budget, hd_true in [
+        (512, 300_000, 0), (512, 480_000, 0), (512, 700_000, 0),
+        (768, 300_000, 0), (768, 420_000, 0),
+        (1024, 300_000, 0), (1024, 240_000, 0),
+        (256, 300_000, 0),
+        (768, 420_000, 48), (512, 480_000, 48), (1024, 300_000, 48),
     ]:
-        dt = time_cfg(block_k, budget)
+        dt = time_cfg(block_k, budget, hd_true)
+        tag = f" hd_true={hd_true}" if hd_true else ""
         if dt is None:
-            print(f"bk={block_k:5d} budget={budget:7d}: VMEM OOM")
+            print(f"bk={block_k:5d} budget={budget:7d}{tag}: VMEM OOM")
             continue
         print(
-            f"bk={block_k:5d} budget={budget:7d}: {dt*1e3:6.2f} ms/layer "
+            f"bk={block_k:5d} budget={budget:7d}{tag}: {dt*1e3:6.2f} ms/layer "
             f"({flops / dt / 1e12:5.1f} TFLOP/s)",
             flush=True,
         )
