@@ -203,10 +203,16 @@ class TorchStyleMHA(nn.Module):
                 bq, bk, _ = pick_cross_ln_prepad(nq, kv_valid)
             else:
                 bq, bk = pick_cross_ln_blocks(nq, nk)
-            # hd_true: fwd QK + the whole backward contract only the 48 true
-            # lanes of the 64-padded packing (exact — pad lanes are zero;
-            # ~13% off the bwd kernel, tools/lane_pad_probe.py)
-            hd_true = hd if hd < hd_pad else 0
+            # hd_true=hd would contract only the 48 true lanes of the 64-pad
+            # packing (exact — pad lanes are zero). Measured SLOWER on the
+            # real kernel (19.38 vs 18.39 ms/layer at the production bwd
+            # config, tools/bwd_microbench.py r4): the MXU charges sub-128
+            # contractions the same at depth 48 as 64, and the narrow strided
+            # slices add overhead — so the default stays full-width.
+            # The mechanism is kept (exactness pinned in
+            # test_hd_true_matches_padded_path) for future geometries where
+            # the pad fraction is larger.
+            hd_true = 0
             if kv_bias is not None:
                 o = flash_cross_attention_ln_masked(qp, kp, vp, kv_bias, h,
                                                     hd_pad, bq, bk, hd_true)
