@@ -153,6 +153,7 @@ def load_rgb_bytes(
     crop: Optional[tuple[int, int, int, int]] = None,
     normalize: bool = True,
     out: Optional[np.ndarray] = None,
+    as_uint8: bool = False,
 ) -> np.ndarray:
     """``load_rgb`` decoding from an in-memory PNG payload (record shards)."""
     lib = get_lib()
@@ -169,13 +170,14 @@ def load_rgb_bytes(
         else:
             h, w, _, _ = image_info_bytes(data)
             ch, cw = h, w
+    mode = 2 if as_uint8 else int(normalize)
     if out is None:
-        out = np.empty((ch, cw, 3), np.float32)
+        out = np.empty((ch, cw, 3), np.uint8 if as_uint8 else np.float32)
     fn = lib.fi_load_rgb_raw if payload_is_raw(data) else lib.fi_load_rgb_mem
     rc = fn(
         data, len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        rh, rw, ci, cj, ch_arg, cw_arg, int(normalize),
+        rh, rw, ci, cj, ch_arg, cw_arg, mode,
     )
     if rc:
         raise IOError(f"load_rgb_bytes failed rc={rc}")
@@ -226,8 +228,16 @@ def load_rgb(
     crop: Optional[tuple[int, int, int, int]] = None,
     normalize: bool = True,
     out: Optional[np.ndarray] = None,
+    as_uint8: bool = False,
 ) -> np.ndarray:
-    """Fused decode(+resize)(+crop)(+ImageNet-normalise) -> float32 HWC(3)."""
+    """Fused decode(+resize)(+crop)(+ImageNet-normalise) -> float32 HWC(3).
+
+    ``as_uint8=True`` (overrides ``normalize``) returns raw uint8 pixels —
+    the wire-compact loader path: normalisation happens on DEVICE
+    (models/crossscore.py), so the batch ships at 1/4 the bytes. Without a
+    resize the crop is byte-exact; with one, the bilinear output is
+    re-quantised to 8 bits (<=0.5/255 per channel).
+    """
     lib = get_lib()
     if lib is None:
         raise RuntimeError("fastimage unavailable")
@@ -243,12 +253,13 @@ def load_rgb(
             h, w, _, _ = image_info(path)
             ch, cw = h, w
 
+    mode = 2 if as_uint8 else int(normalize)
     if out is None:
-        out = np.empty((ch, cw, 3), np.float32)
+        out = np.empty((ch, cw, 3), np.uint8 if as_uint8 else np.float32)
     rc = lib.fi_load_rgb(
         str(path).encode(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        rh, rw, ci, cj, ch_arg, cw_arg, int(normalize),
+        rh, rw, ci, cj, ch_arg, cw_arg, mode,
     )
     if rc:
         raise IOError(f"fi_load_rgb({path}) failed rc={rc}")

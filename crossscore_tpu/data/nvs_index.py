@@ -117,6 +117,7 @@ class NvsDataset:
         zero_reference: bool = False,
         return_item_paths: bool = False,
         record_dir: Optional[str] = None,
+        wire_uint8: bool = False,
     ):
         if data_split not in ("train", "test", "val", "val_small", "test_small"):
             raise ValueError(f"Unknown data_split {data_split}")
@@ -131,6 +132,11 @@ class NvsDataset:
             self._store = RecordStore(record_dir)
         self.neighbour_config = dict(neighbour_config)
         self.zero_reference = zero_reference
+        # wire-compact batches: emit raw uint8 pixels; the model normalises
+        # on DEVICE (models/crossscore.py::_normalize_u8). 1/4 the collate +
+        # host->device bytes per step; byte-exact vs the float path when no
+        # resize is active, <=0.5/255 re-quantisation under a resize.
+        self.wire_uint8 = wire_uint8
         self.return_item_paths = return_item_paths
         self.resize_short_side = resize_short_side
         self.crop_mode = crop_mode
@@ -383,8 +389,14 @@ class NvsDataset:
         if self.reference_crop is not None and refs is not None:
             refs = self.reference_crop(refs, rng=rng)["out"]
 
+        if self.wire_uint8:
+            # raw pixels on the wire; [0,1] float -> u8 is exact for unresized
+            # 8-bit sources (k/255 * 255 rounds back to k)
+            q_out = np.clip(np.rint(q * 255.0), 0, 255).astype(np.uint8)
+        else:
+            q_out = normalize_imagenet(q).astype(np.float32)
         out = {
-            "query/img": normalize_imagenet(q).astype(np.float32),
+            "query/img": q_out,
             "query/score_map": sm.astype(np.float32),
         }
         # decode-skip is fused-only, but when the hooks are set the PIL
@@ -393,7 +405,12 @@ class NvsDataset:
         if getattr(self, "query_pixel_skip", None) is not None:
             out["query/skipped"] = np.asarray(False)
         if refs is not None:
-            out["reference/cross/imgs"] = normalize_imagenet(refs).astype(np.float32)
+            if self.wire_uint8:
+                out["reference/cross/imgs"] = np.clip(
+                    np.rint(refs * 255.0), 0, 255
+                ).astype(np.uint8)
+            else:
+                out["reference/cross/imgs"] = normalize_imagenet(refs).astype(np.float32)
             if getattr(self, "ref_pixel_skip", None) is not None:
                 out["reference/skipped"] = np.zeros(len(refs), bool)
         if self.return_item_paths:
@@ -470,11 +487,13 @@ class NvsDataset:
         # draws no rng, and the consumer resolves skipped slots cache-only.
         qskip_fn = getattr(self, "query_pixel_skip", None)
         q_skipped = bool(qskip_fn is not None and qskip_fn(qpath, out_hw))
+        wire_dt = np.uint8 if self.wire_uint8 else np.float32
         if q_skipped:
-            q = np.zeros((*out_hw, 3), np.float32)  # placeholder
+            q = np.zeros((*out_hw, 3), wire_dt)  # placeholder
         else:
             q = self._fi_load_rgb(qpath, q_payload, resize_hw=resize_hw,
-                                  crop=crop, normalize=True)
+                                  crop=crop, normalize=True,
+                                  as_uint8=self.wire_uint8)
 
         sm_path = item_paths["query/score_map"]
         if sm_path == EMPTY_IMAGE or mc["type"] is None:
@@ -508,8 +527,13 @@ class NvsDataset:
         if ref_paths:
             from crossscore_tpu.data.crop import get_crop_params
 
-            zero_ref = normalize_imagenet(np.zeros((*out_hw, 3), np.float32))
-            refs = np.empty((len(ref_paths), *out_hw, 3), np.float32)
+            if self.wire_uint8:
+                # raw zeros on the wire; the device normalise maps them to
+                # the same -mean/std the float path ships pre-normalised
+                zero_ref = np.zeros((*out_hw, 3), np.uint8)
+            else:
+                zero_ref = normalize_imagenet(np.zeros((*out_hw, 3), np.float32))
+            refs = np.empty((len(ref_paths), *out_hw, 3), wire_dt)
             skipped = np.zeros(len(ref_paths), bool)
             for i, rp in enumerate(ref_paths):
                 if rp == EMPTY_IMAGE:
@@ -540,7 +564,8 @@ class NvsDataset:
                     skipped[i] = True
                     continue
                 self._fi_load_rgb(rp, r_payload, resize_hw=r_resize, crop=r_crop,
-                                  normalize=True, out=refs[i])
+                                  normalize=True, as_uint8=self.wire_uint8,
+                                  out=refs[i])
 
         out = {"query/img": q, "query/score_map": sm}
         if qskip_fn is not None:
@@ -579,6 +604,7 @@ def get_dataset(cfg, data_split: str, return_item_paths: bool = False, crop_mode
             zero_reference=cfg.data.dataset.zero_reference,
             return_item_paths=return_item_paths,
             record_dir=cfg.data.dataset.get("record_dir"),
+            wire_uint8=bool(cfg.data.dataset.get("wire_uint8", False)),
         )
         for p in paths
     ]

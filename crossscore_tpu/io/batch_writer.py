@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
-from crossscore_tpu.io.images import metric_map_write, u8, denormalize_imagenet
+from crossscore_tpu.io.images import metric_map_write, u8, to_display_rgb
 from crossscore_tpu.utils.vis import gray2rgb, attn2rgb
 
 
@@ -133,7 +133,7 @@ class BatchWriter:
     def _write_query_images(self, batch_input, local_rank, batch_idx, n_valid):
         imgs = np.asarray(batch_input["query/img"], dtype=np.float32)
         for b, name in self._names(batch_input, local_rank, batch_idx, n_valid):
-            rgb = u8(np.clip(denormalize_imagenet(imgs[b]), 0, 1))
+            rgb = u8(np.clip(to_display_rgb(imgs[b]), 0, 1))
             Image.fromarray(rgb).save(self.dirs["image_query"] / f"{name}.png")
 
     def _write_reference_images(self, batch_input, local_rank, batch_idx, n_valid):
@@ -146,7 +146,7 @@ class BatchWriter:
             sub = self.dirs["image_reference"] / name / "cross"
             sub.mkdir(parents=True, exist_ok=True)
             for k, rp in enumerate(refs_paths[b]):
-                rgb = u8(np.clip(denormalize_imagenet(ref_imgs[b, k]), 0, 1))
+                rgb = u8(np.clip(to_display_rgb(ref_imgs[b, k]), 0, 1))
                 Image.fromarray(rgb).save(sub / f"ref{k:02}_{_mangle(rp)}.png")
 
     def _write_attn_weights(self, batch_input, batch_output, local_rank, batch_idx, n_valid,

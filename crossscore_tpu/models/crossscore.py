@@ -33,6 +33,20 @@ from crossscore_tpu.models.regression import regression_activation
 from crossscore_tpu.ops.jigsaw import jigsaw_to_image
 
 
+def _normalize_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Raw uint8 pixels -> ImageNet-normalised float32, on device.
+
+    Mirrors the host normalise (native/fastimage.cpp ``rgb_from_u8`` mode 1)
+    op-for-op in float32 — x*(1/255), (x-mean)/std — so a uint8-wire batch
+    produces the same activations as the host-normalised float32 form to f32
+    rounding. Downstream casts to the compute dtype exactly as before."""
+    from crossscore_tpu.io.images import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (img.astype(jnp.float32) * jnp.float32(1.0 / 255.0) - mean) / std
+
+
 @dataclasses.dataclass(frozen=True)
 class CrossScoreConfig:
     backbone: ViTConfig = VIT_PRESETS["dinov2-small"]
@@ -175,6 +189,20 @@ class CrossScoreNet(nn.Module):
                     f"query_tokens carry {query_tokens.shape[1]} patches but "
                     f"token_grid is {tuple(token_grid)}"
                 )
+        # wire-compact path (data.dataset.wire_uint8): pixels arrive as raw
+        # uint8 and are ImageNet-normalised HERE, on device — the batch ships
+        # at 1/4 the float32 bytes (host->device bandwidth is the sustained-
+        # training bottleneck through thin links; PERFORMANCE.md r4). The f32
+        # math mirrors the host normalise (native/fastimage.cpp rgb_from_u8
+        # mode 1): x*(1/255), then (x-mean)/std, all in float32.
+        if query_img is not None and query_img.dtype == jnp.uint8:
+            if norm_img:
+                raise ValueError("norm_img expects [0,1] float pixels, got uint8")
+            query_img = _normalize_u8(query_img)
+        if ref_imgs is not None and ref_imgs.dtype == jnp.uint8:
+            if norm_img:
+                raise ValueError("norm_img expects [0,1] float pixels, got uint8")
+            ref_imgs = _normalize_u8(ref_imgs)
         if norm_img:
             # DELIBERATE DEVIATION: reference task/core.py:76-81 divides by the
             # ImageNet MEAN for both mean and std (it reuses img_mean for

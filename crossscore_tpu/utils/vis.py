@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from crossscore_tpu.io.images import u8, denormalize_imagenet
+from crossscore_tpu.io.images import u8, to_display_rgb
 
 
 def gray2rgb(img: np.ndarray, vrange, cmap: str = "turbo") -> np.ndarray:
@@ -60,7 +60,7 @@ class BatchVisualiserRef:
         for ax in axes.flatten():
             ax.set_axis_off()
 
-        query = denormalize_imagenet(np.asarray(batch["query/img"][item]))
+        query = to_display_rgb(batch["query/img"][item])
         axes[0][0].imshow(np.clip(query, 0, 1))
         axes[0][0].set_title("query/img")
         if "query/score_map" in batch:
@@ -74,7 +74,7 @@ class BatchVisualiserRef:
         axes[0][2].set_title(f"pred/{self.metric_type}")
 
         for i in range(n_ref):
-            axes[1][i].imshow(np.clip(denormalize_imagenet(refs[i]), 0, 1))
+            axes[1][i].imshow(np.clip(to_display_rgb(refs[i]), 0, 1))
             axes[1][i].set_title(f"ref_{i}")
 
         fig.tight_layout()
@@ -105,7 +105,7 @@ class BatchVisualiserRefAttnMap(BatchVisualiserRef):
         for ax in axes.flatten():
             ax.set_axis_off()
 
-        query = denormalize_imagenet(np.asarray(batch["query/img"][item]))
+        query = to_display_rgb(batch["query/img"][item])
         axes[0][0].imshow(np.clip(query, 0, 1))
         axes[0][0].set_title("query/img")
         if "query/score_map" in batch:
@@ -117,7 +117,7 @@ class BatchVisualiserRefAttnMap(BatchVisualiserRef):
         axes[0][2].set_title(f"pred/{self.metric_type}")
 
         for i in range(n_ref):
-            axes[1][i].imshow(np.clip(denormalize_imagenet(refs[i]), 0, 1))
+            axes[1][i].imshow(np.clip(to_display_rgb(refs[i]), 0, 1))
             axes[1][i].set_title(f"ref_{i}")
             axes[2][i].imshow(attn2rgb(centre[i]))
             axes[2][i].set_title(f"attn_centre_{i}")

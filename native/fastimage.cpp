@@ -220,6 +220,13 @@ int fi_image_info(const char* path, int* h, int* w, int* channels, int* bit_dept
 // pre-decoded record-shard tensor). Without a resize, the u8->f32 convert,
 // crop and normalise fuse into ONE pass over the crop window only (identical
 // arithmetic per element, so bit-identical to the staged form).
+//
+// normalize modes: 0 = float32 [0,1]; 1 = float32 ImageNet-normalised;
+// 2 = raw uint8 passthrough (``out`` is reinterpreted as a uint8 buffer) —
+// the wire-compact loader path (data.dataset.wire_uint8): pixels stay uint8
+// until the DEVICE normalises them, quartering host->device transfer and
+// host collate bytes. Without a resize the crop is a pure row memcpy; with a
+// resize the bilinear output is re-quantised (round-to-nearest) to 8 bits.
 static int rgb_from_u8(const uint8_t* p8, int in_h, int in_w, float* out,
                        int resize_h, int resize_w,
                        int crop_i, int crop_j, int crop_h, int crop_w,
@@ -236,6 +243,11 @@ static int rgb_from_u8(const uint8_t* p8, int in_h, int in_w, float* out,
         }
         for (int y = 0; y < ch; ++y) {
             const uint8_t* srow = p8 + ((size_t)(ci + y) * w + cj) * 3;
+            if (normalize == 2) {
+                std::memcpy(reinterpret_cast<uint8_t*>(out) + (size_t)y * cw * 3,
+                            srow, (size_t)cw * 3);
+                continue;
+            }
             float* drow = out + (size_t)y * cw * 3;
             if (normalize) {
                 for (int x = 0; x < cw; ++x)
@@ -266,8 +278,17 @@ static int rgb_from_u8(const uint8_t* p8, int in_h, int in_w, float* out,
     }
     for (int y = 0; y < ch; ++y) {
         const float* srow = cur + ((size_t)(ci + y) * w + cj) * 3;
+        if (normalize == 2) {
+            uint8_t* drow = reinterpret_cast<uint8_t*>(out) + (size_t)y * cw * 3;
+            for (int i = 0; i < cw * 3; ++i) {
+                float v = srow[i];
+                v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+                drow[i] = (uint8_t)lrintf(v * 255.0f);
+            }
+            continue;
+        }
         float* drow = out + (size_t)y * cw * 3;
-        if (normalize) {
+        if (normalize == 1) {
             for (int x = 0; x < cw; ++x)
                 for (int c = 0; c < 3; ++c)
                     drow[x * 3 + c] = (srow[x * 3 + c] - kImagenetMean[c]) / kImagenetStd[c];

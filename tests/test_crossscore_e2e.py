@@ -153,6 +153,36 @@ class TestCrossScoreE2E:
         c = np.asarray(s16["score_map_ref_cross"])
         assert np.abs(a - c).mean() < 0.05
 
+    def test_uint8_wire_matches_float_wire(self, stack, rng):
+        """A raw-uint8 batch (data.dataset.wire_uint8) must produce the same
+        score map as the host-normalised float32 form of the same pixels —
+        the device normalise (models/crossscore.py::_normalize_u8) is the
+        only difference between the two wire formats."""
+        from crossscore_tpu.io.images import normalize_imagenet
+
+        hf, pe, dec, head0, head2 = stack
+        params = convert_lightning_ckpt(
+            _lightning_style_state_dict(hf, pe, dec, head0, head2),
+            num_backbone_layers=VIT.num_layers, num_decoder_layers=2, d_model=D,
+        )
+        b, k, hw = 2, 3, 56
+        q_u8 = rng.integers(0, 256, (b, hw, hw, 3)).astype(np.uint8)
+        r_u8 = rng.integers(0, 256, (b, k, hw, hw, 3)).astype(np.uint8)
+        q_f32 = normalize_imagenet(q_u8.astype(np.float32) / 255.0).astype(np.float32)
+        r_f32 = normalize_imagenet(r_u8.astype(np.float32) / 255.0).astype(np.float32)
+
+        cfg = CrossScoreConfig(
+            backbone=VIT, patch_size=PATCH, pe_h=PE_HW, pe_w=PE_HW, decoder_heads=4,
+        )
+        net = CrossScoreNet(cfg)
+        out_u8 = net.apply({"params": params}, jnp.asarray(q_u8), jnp.asarray(r_u8))
+        out_f32 = net.apply({"params": params}, jnp.asarray(q_f32), jnp.asarray(r_f32))
+        np.testing.assert_allclose(
+            np.asarray(out_u8["score_map_ref_cross"]),
+            np.asarray(out_f32["score_map_ref_cross"]),
+            atol=1e-5,
+        )
+
     def test_attn_weights_shape(self, stack, rng):
         hf, pe, dec, head0, head2 = stack
         params = convert_lightning_ckpt(

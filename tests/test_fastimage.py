@@ -71,6 +71,31 @@ class TestLoadRGB:
         with pytest.raises(IOError):
             fastimage.load_rgb(str(p), crop=(50, 50, 30, 40))
 
+    def test_uint8_plain_is_byte_exact(self, img_path):
+        # no resize: the u8 wire path is a pure crop copy of the PNG bytes
+        p, ref = img_path
+        out = fastimage.load_rgb(str(p), as_uint8=True)
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, np.rint(ref * 255).astype(np.uint8))
+
+    def test_uint8_crop_is_byte_exact(self, img_path):
+        p, ref = img_path
+        out = fastimage.load_rgb(str(p), crop=(5, 7, 20, 30), as_uint8=True)
+        np.testing.assert_array_equal(
+            out, np.rint(ref[5:25, 7:37] * 255).astype(np.uint8)
+        )
+
+    def test_uint8_resize_requantises(self, img_path):
+        # with a resize the bilinear output is re-quantised to 8 bits:
+        # within 0.5/255 of the float path (plus its own resize tolerance)
+        p, ref = img_path
+        out = fastimage.load_rgb(str(p), resize_hw=(30, 40), as_uint8=True)
+        expected = resize_bilinear_antialias(ref, 30, 40)
+        assert out.dtype == np.uint8
+        np.testing.assert_allclose(
+            out.astype(np.float32) / 255.0, expected, atol=0.5 / 255 + 2e-4
+        )
+
     def test_missing_file_raises(self):
         with pytest.raises(IOError):
             fastimage.load_rgb("/nonexistent.png")
@@ -162,3 +187,91 @@ class TestFusedDatasetParity:
             np.testing.assert_allclose(
                 fused["reference/cross/imgs"], normalize_imagenet(refs), atol=2e-4
             )
+
+
+class TestWireUint8:
+    """data.dataset.wire_uint8: raw uint8 pixels on the wire, normalised on
+    device. Fused and PIL paths must agree byte-for-byte; the device
+    normalise must reproduce the host float path to f32 rounding."""
+
+    @pytest.fixture(scope="class")
+    def ds_root(self, tmp_path_factory):
+        from crossscore_tpu.data.synthetic import generate
+
+        root = tmp_path_factory.mktemp("wireu8")
+        generate(root, hw=(84, 112), scenes_per_split={"train": 1, "val": 1, "test": 1})
+        return root
+
+    def _mk(self, ds_root, wire_uint8):
+        from crossscore_tpu.data.nvs_index import NvsDataset
+
+        return NvsDataset(
+            dataset_path=str(ds_root), resolution="res_540", data_split="train",
+            neighbour_config={"strategy": "random", "cross": 3, "deterministic": False},
+            metric_type="ssim", metric_min=0, metric_max=1,
+            crop_size=56, crop_mode="dataset_default", wire_uint8=wire_uint8,
+        )
+
+    def test_fused_matches_pil_bytes(self, ds_root):
+        ds = self._mk(ds_root, wire_uint8=True)
+        for idx in [0, 2]:
+            fused = ds._get_item_fused(
+                ds.neighbour_selector.select(idx, np.random.default_rng(idx)),
+                np.random.default_rng(50 + idx),
+            )
+            import os
+
+            os.environ["CROSSSCORE_NO_NATIVE"] = "1"
+            try:
+                # force the PIL path through get_item's fallback arm by
+                # calling the staged logic directly (fastimage stays loaded;
+                # the env var only gates get_lib's FIRST call, so replicate
+                # the PIL arm the same way TestFusedDatasetParity does)
+                item_paths = ds.neighbour_selector.select(idx, np.random.default_rng(idx))
+                content = ds.load_content(item_paths)
+                rng2 = np.random.default_rng(50 + idx)
+                q, sm = content["query/img"], content["query/score_map"]
+                refs = content["reference/cross/imgs"]
+                res = ds.query_crop(q, sm, rng=rng2)
+                q, sm = res["out"]
+                refs = ds.reference_crop(refs, rng=rng2)["out"]
+            finally:
+                del os.environ["CROSSSCORE_NO_NATIVE"]
+            assert fused["query/img"].dtype == np.uint8
+            assert fused["reference/cross/imgs"].dtype == np.uint8
+            np.testing.assert_array_equal(
+                fused["query/img"], np.clip(np.rint(q * 255), 0, 255).astype(np.uint8)
+            )
+            np.testing.assert_array_equal(
+                fused["reference/cross/imgs"],
+                np.clip(np.rint(refs * 255), 0, 255).astype(np.uint8),
+            )
+            np.testing.assert_allclose(fused["query/score_map"], sm, atol=2e-4)
+
+    def test_device_normalise_matches_host(self, ds_root):
+        import jax.numpy as jnp
+        from crossscore_tpu.models.crossscore import _normalize_u8
+
+        ds_u8 = self._mk(ds_root, wire_uint8=True)
+        ds_f32 = self._mk(ds_root, wire_uint8=False)
+        item_u8 = ds_u8.get_item(0, np.random.default_rng(7))
+        item_f32 = ds_f32.get_item(0, np.random.default_rng(7))
+        dev = np.asarray(_normalize_u8(jnp.asarray(item_u8["query/img"])))
+        np.testing.assert_allclose(dev, item_f32["query/img"], atol=1e-6)
+        dev_r = np.asarray(_normalize_u8(jnp.asarray(item_u8["reference/cross/imgs"])))
+        np.testing.assert_allclose(dev_r, item_f32["reference/cross/imgs"], atol=1e-6)
+
+    def test_pil_path_roundtrip_exact(self, ds_root, monkeypatch):
+        # the PIL fallback arm (non-PNG or no native lib) must emit the same
+        # u8 bytes as the fused arm for unresized 8-bit sources
+        from crossscore_tpu.data import fastimage as fi
+
+        ds = self._mk(ds_root, wire_uint8=True)
+        fused = ds.get_item(1, np.random.default_rng(9))
+        monkeypatch.setattr(fi, "available", lambda: False)
+        pil = ds.get_item(1, np.random.default_rng(9))
+        assert pil["query/img"].dtype == np.uint8
+        np.testing.assert_array_equal(fused["query/img"], pil["query/img"])
+        np.testing.assert_array_equal(
+            fused["reference/cross/imgs"], pil["reference/cross/imgs"]
+        )

@@ -127,6 +127,33 @@ class TestTrainTask:
         steps = [r["step"] for r in rows2 if "train/loss" in r]
         assert steps and min(steps) > min(r["step"] for r in rows if "train/loss" in r)
 
+    def test_wire_uint8_train_run(self, ws):
+        """wire_uint8 batches drive the full loop — loader, device normalise,
+        metrics, and the uint8-aware visualiser path (io/images.py
+        ``to_display_rgb``)."""
+        from crossscore_tpu.tasks.train import main
+
+        run_dir = main(SMALL_OVERRIDES + [
+            "data.dataset.path=[datadir]",
+            "data.dataset.wire_uint8=true",
+            "data.loader.train.batch_size=2",
+            "data.loader.validation.batch_size=2",
+            "data.loader.train.num_workers=2",
+            "data.loader.validation.num_workers=2",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=-1",
+            "trainer.max_epochs=1",
+            "trainer.num_sanity_val_steps=1",
+            "trainer.limit_val_batches=1",
+            "logger.vis_scalar_every_n_train_steps=1",
+            "logger.vis_imgs_every_n_train_steps=2",
+            "alias=u8",
+        ])
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert any("train/loss" in r for r in rows)
+        assert any("validation/loss" in r for r in rows)
+        assert list((run_dir / "vis").glob("*.png")), "uint8 vis path wrote no figure"
+
     def test_check_val_every_n_epoch(self, ws):
         """Lightning's check_val_every_n_epoch semantics: validation runs
         when (epoch+1) % n == 0 — 3 epochs at n=2 validate exactly once."""
