@@ -405,6 +405,10 @@ def make_backbone_encoder(cfg: CrossScoreConfig):
         out of the encoder's attention and get no position embedding, so the
         valid tokens equal an unpadded encode exactly (the same guarantee the
         full net gives, models/dinov2.py valid_grid)."""
+        if imgs.dtype == jnp.uint8:
+            # wire-compact path (data.dataset.wire_uint8): normalise on
+            # device, same as the full net's __call__ above
+            imgs = _normalize_u8(imgs)
         valid_grid = None
         if valid_hw is not None:
             p = cfg.patch_size

@@ -108,6 +108,23 @@ class TestDecoderOnlyGraph:
             state, m = step(state, batch)
         assert float(m["loss"]) < float(m0["loss"])
 
+    def test_encoder_uint8_wire_matches_float(self, setup):
+        """make_backbone_encoder normalises raw-uint8 inputs on device
+        (data.dataset.wire_uint8) — the token-mode lazy-encode and
+        tasks.encode_tokens paths must produce the same tokens either wire
+        format ships."""
+        from crossscore_tpu.io.images import normalize_imagenet
+
+        cfg, model, params, _, _ = setup
+        encode = make_backbone_encoder(cfg)
+        rng = np.random.default_rng(11)
+        u8 = rng.integers(0, 256, (2, 56, 70, 3)).astype(np.uint8)
+        f32 = normalize_imagenet(u8.astype(np.float32) / 255.0)
+        t_u8 = encode(params, jnp.asarray(u8))
+        t_f32 = encode(params, jnp.asarray(f32, jnp.float32))
+        np.testing.assert_allclose(np.asarray(t_u8), np.asarray(t_f32),
+                                   atol=1e-5, rtol=1e-5)
+
     def test_guards(self, setup):
         cfg, model, params, q, r = setup
         q_tok, r_tok = _tokens(cfg, model, params, q, r)
