@@ -28,10 +28,12 @@ class SimpleReference(NvsDataset):
         deterministic_crop: bool = True,
         zero_reference: bool = False,
         return_item_paths: bool = True,
+        wire_uint8: bool = False,
     ):
         self.neighbour_config = dict(neighbour_config)
         self.zero_reference = zero_reference
         self.return_item_paths = return_item_paths
+        self.wire_uint8 = wire_uint8
         self.resize_short_side = resize_short_side
         self.crop_mode = crop_mode
         self.metric_config = self._build_metric_config(None, None, None)

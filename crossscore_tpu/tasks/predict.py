@@ -116,6 +116,7 @@ def predict(cfg) -> Path:
         resize_short_side=cfg.this_main.resize_short_side,
         zero_reference=cfg.data.dataset.zero_reference,
         return_item_paths=True,
+        wire_uint8=bool(cfg.data.dataset.get("wire_uint8", False)),
     )
     # multi-device inference. Two strategies, picked from config alone:
     # - data parallel (default): batch sharded over a 1-D mesh (replaces the

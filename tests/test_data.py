@@ -121,6 +121,34 @@ class TestSimpleReference:
         assert np.all(item["query/score_map"] == 0)  # empty metric config
         assert "item_paths" in item
 
+    def test_wire_uint8(self, dataset_root):
+        """Regression: SimpleReference sets attrs directly (it does not call
+        NvsDataset.__init__), so every new NvsDataset knob consumed inside
+        get_item must be plumbed here too — wire_uint8 was missed at first."""
+        base = dataset_root / "res_540" / "s00000" / "test" / "ours_1000"
+        kw = dict(
+            query_dir=str(base / "renders"),
+            reference_dir=str(
+                dataset_root / "res_540" / "s00000" / "train" / "ours_1000" / "gt"
+            ),
+            neighbour_config={**NEIGHBOUR, "deterministic": True},
+            resize_short_side=56,
+        )
+        it_f = SimpleReference(**kw).get_item(0, np.random.default_rng(0))
+        it_u = SimpleReference(**kw, wire_uint8=True).get_item(
+            0, np.random.default_rng(0)
+        )
+        assert it_u["query/img"].dtype == np.uint8
+        assert it_u["reference/cross/imgs"].dtype == np.uint8
+        # the float path is the uint8 path ImageNet-normalised (io/images.py)
+        from crossscore_tpu.io.images import normalize_imagenet
+
+        np.testing.assert_allclose(
+            normalize_imagenet(it_u["query/img"].astype(np.float32) / 255.0),
+            it_f["query/img"],
+            atol=9e-3,  # <=(0.5/255)/min(std) re-quantisation under the resize
+        )
+
 
 class TestSampler:
     def test_without_replacement(self):
