@@ -73,6 +73,19 @@ def main(argv=None):
     ap.add_argument("--train-batches", default=None,
                     help="batch sizes for the train step (default: same list)")
     ap.add_argument("--cpu", action="store_true", help="CPU smoke run")
+    ap.add_argument("--extra", default="", help="extra dotted overrides, comma-separated")
+    ap.add_argument("--skip-forward", action="store_true",
+                    help="train-step sweep only (forward already recorded)")
+    ap.add_argument("--scoped-vmem-kib", type=int, default=0,
+                    help="raise xla_tpu_scoped_vmem_limit_kib for the train "
+                         "jit (the decoder bwd kernel holds whole-nq q/do/dq "
+                         "blocks + an f32 scratch in VMEM; at the 74x74 "
+                         "stress grid that overflows the 16M default)")
+    ap.add_argument("--token", action="store_true",
+                    help="train sweep uses the decoder-only token-space step "
+                         "(this_main.token_space_train semantics) — the "
+                         "recommended operating point for frozen-backbone "
+                         "training after the r4 quality A/B")
     args = ap.parse_args(argv)
 
     import jax
@@ -95,6 +108,7 @@ def main(argv=None):
         overrides=[
             f"model.backbone.preset={args.preset}",
             "model.tpu.remat_backbone=true",  # HBM: 24 rematerialised blocks
+            *[o for o in args.extra.split(",") if o],
         ],
     )
     mcfg = CrossScoreConfig.from_config(cfg)
@@ -121,15 +135,28 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(init))
     print(f"params: {n_params / 1e6:.0f} M", flush=True)
 
-    def make_batch(b, with_map):
-        out = {
-            "query/img": jnp.asarray(
-                rng.standard_normal((b, hw, hw, 3), dtype=np.float32), jnp.bfloat16
-            ),
-            "reference/cross/imgs": jnp.asarray(
-                rng.standard_normal((b, k, hw, hw, 3), dtype=np.float32), jnp.bfloat16
-            ),
-        }
+    def make_batch(b, with_map, token=False):
+        if token:
+            d = mcfg.backbone.hidden_size
+            out = {
+                "query/tokens": jnp.asarray(
+                    rng.standard_normal((b, g * g, d), dtype=np.float32),
+                    jnp.bfloat16,
+                ),
+                "reference/cross/tokens": jnp.asarray(
+                    rng.standard_normal((b, k, g * g, d), dtype=np.float32),
+                    jnp.bfloat16,
+                ),
+            }
+        else:
+            out = {
+                "query/img": jnp.asarray(
+                    rng.standard_normal((b, hw, hw, 3), dtype=np.float32), jnp.bfloat16
+                ),
+                "reference/cross/imgs": jnp.asarray(
+                    rng.standard_normal((b, k, hw, hw, 3), dtype=np.float32), jnp.bfloat16
+                ),
+            }
         if with_map:
             out["query/score_map"] = jnp.asarray(
                 rng.random((b, hw, hw), dtype=np.float32)
@@ -164,7 +191,7 @@ def main(argv=None):
     # ---------------- forward (predict-path) sweep ----------------
     import functools
 
-    for b in (int(x) for x in args.batches.split(",")):
+    for b in (int(x) for x in args.batches.split(",") if not args.skip_forward):
         batch = make_batch(b, with_map=False)
 
         @jax.jit
@@ -199,15 +226,22 @@ def main(argv=None):
     # ---------------- train-step sweep ----------------
     tx, _ = make_optimizer(cfg, init, steps_per_epoch=100)
     step_fn = make_train_step(model, tx)
+    perturb_key = "query/tokens" if args.token else "query/img"
+    tag = "train_tok" if args.token else "train"
     for b in (int(x) for x in (args.train_batches or args.batches).split(",")):
-        batch = make_batch(b, with_map=True)
+        batch = make_batch(b, with_map=True, token=args.token)
         state = create_train_state(init, tx)
+        jit_kw = {}
+        if args.scoped_vmem_kib:
+            jit_kw["compiler_options"] = {
+                "xla_tpu_scoped_vmem_limit_kib": str(args.scoped_vmem_kib)
+            }
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kw)
         def train_loop(st, batch):
             def body(i, s):
                 b2 = dict(batch)
-                b2["query/img"] = batch["query/img"] * (
+                b2[perturb_key] = batch[perturb_key] * (
                     1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-8)
                 )
                 return step_fn(s, b2)[0]
@@ -215,19 +249,20 @@ def main(argv=None):
             st = jax.lax.fori_loop(0, N_IT, body, st)
             return st, st.params["head_fc2"]["kernel"][0, 0]
 
-        print(f"train B={b}:", flush=True)
+        print(f"{tag} B={b}:", flush=True)
         try:
             dt = timed_loop(
                 train_loop, [state, batch],
-                floor_s=N_IT * b * (1 + k) * 0.002,
+                floor_s=N_IT * b * ((1 + k) * 0.002 if not args.token else 0.001),
             )
         except Exception as e:
             print(f"  FAILED ({type(e).__name__}): {str(e)[:300]}", flush=True)
-            results[f"train_B{b}"] = {"error": type(e).__name__}
+            results[f"{tag}_B{b}"] = {"error": type(e).__name__}
             continue
-        # frozen backbone: encoder is forward-only; decoder+head do fwd+bwd
-        fl = b * (enc_f + 3 * dec_f)
-        results[f"train_B{b}"] = {
+        # frozen backbone: encoder is forward-only; decoder+head do fwd+bwd.
+        # token mode never touches the encoder at all.
+        fl = b * ((0 if args.token else enc_f) + 3 * dec_f)
+        results[f"{tag}_B{b}"] = {
             "ms": round(dt * 1e3, 1),
             "ms_per_map": round(dt * 1e3 / b, 1),
             "mfu": round(fl / dt / V5E_BF16_PEAK, 3),
