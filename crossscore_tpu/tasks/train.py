@@ -262,8 +262,17 @@ def train(cfg) -> Path:
         )}
         _encode_cell["fn"] = partial(jax.jit(make_backbone_encoder(mcfg)), _bb_copy)
 
-    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(model))
+    # model.tpu.scoped_vmem_kib > 0 raises the scoped-VMEM ceiling for these
+    # jits (TPU only — the flag is unknown to other backends). The 2x-res
+    # ViT-L stress config needs 32768: the decoder backward keeps whole-nq
+    # q/do/dq blocks + an f32 scratch in VMEM, which overflows the 16M
+    # default at the 74x74 token grid (PERFORMANCE.md r4 stress section).
+    jit_kw = {}
+    svk = int(cfg.model.tpu.get("scoped_vmem_kib", 0))
+    if svk > 0 and jax.default_backend() not in ("cpu",):
+        jit_kw["compiler_options"] = {"xla_tpu_scoped_vmem_limit_kib": str(svk)}
+    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,), **jit_kw)
+    eval_step = jax.jit(make_eval_step(model), **jit_kw)
 
     # ------------------------------------------------------------- callbacks
     cache_n = cfg.logger.cache_size.train.n_scalar

@@ -154,6 +154,30 @@ class TestTrainTask:
         assert any("validation/loss" in r for r in rows)
         assert list((run_dir / "vis").glob("*.png")), "uint8 vis path wrote no figure"
 
+    def test_scoped_vmem_knob_ignored_on_cpu(self, ws):
+        """model.tpu.scoped_vmem_kib forwards a TPU-only XLA flag as per-jit
+        compiler options (the 2x-res ViT-L unblock, PERFORMANCE.md r4); on a
+        CPU backend the flag is unknown, so the knob must gate itself off —
+        a train run with it set completes rather than crashing at jit time."""
+        from crossscore_tpu.tasks.train import main
+
+        run_dir = main(SMALL_OVERRIDES + [
+            "data.dataset.path=[datadir]",
+            "model.tpu.scoped_vmem_kib=32768",
+            "data.loader.train.batch_size=2",
+            "data.loader.validation.batch_size=2",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=-1",
+            "trainer.max_epochs=1",
+            "trainer.max_steps=1",
+            "trainer.num_sanity_val_steps=0",
+            "trainer.limit_val_batches=1",
+            "logger.vis_scalar_every_n_train_steps=1",
+            "alias=svk",
+        ])
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        assert any("train/loss" in r for r in rows)
+
     def test_check_val_every_n_epoch(self, ws):
         """Lightning's check_val_every_n_epoch semantics: validation runs
         when (epoch+1) % n == 0 — 3 epochs at n=2 validate exactly once."""
