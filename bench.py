@@ -248,6 +248,10 @@ def main() -> None:
         for name, fn in (
             ("serving_cached", lambda: measure_inference(cached=True)),
             ("train_step", measure_train),
+            # token-space training: quality-validated equal to pixel crops
+            # at matched budgets (PERFORMANCE.md r4 A/B) — the recommended
+            # frozen-backbone operating point
+            ("train_step_tokens", lambda: measure_train(tokens=True)),
         ):
             try:
                 extras[name] = fn()
