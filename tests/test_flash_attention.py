@@ -249,6 +249,35 @@ class TestLayoutNativeCross:
         for a, b_ in zip(g_ln, g_d):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
+    def test_grads_match_dense_hd128_hpack1(self, rng):
+        """hd=128 = one head per lane block (hpack=1) — the degenerate
+        packing the ViT-L stress config trains through (d_model=1024, 8
+        heads; PERFORMANCE.md r4 stress section). Fwd + dq/dk/dv must match
+        dense autodiff with NO lane padding in play."""
+        from crossscore_tpu.ops.flash_attention import flash_cross_attention_ln
+
+        h, hd, nq, nk = 4, 128, 37, 290
+        (q, k, v), (qp, kp, vp) = self._packed(rng, 2, h, nq, nk, hd)
+
+        o = flash_cross_attention_ln(qp, kp, vp, h, hd, 0, 128)
+        want = dense_attention(q, k, v).transpose(0, 2, 1, 3).reshape(o.shape)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want), atol=2e-5)
+
+        def loss_ln(qp, kp, vp):
+            out = flash_cross_attention_ln(qp, kp, vp, h, hd, 0, 128)
+            return jnp.sum(jnp.square(out) * jnp.cos(out))
+
+        def loss_dense(qp, kp, vp):
+            un = lambda x: x.reshape(2, x.shape[1], h, hd).transpose(0, 2, 1, 3)
+            out = dense_attention(un(qp), un(kp), un(vp)).transpose(0, 2, 1, 3)
+            out = out.reshape(2, nq, h * hd)
+            return jnp.sum(jnp.square(out) * jnp.cos(out))
+
+        g_ln = jax.grad(loss_ln, argnums=(0, 1, 2))(qp, kp, vp)
+        g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(qp, kp, vp)
+        for a, b_ in zip(g_ln, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
     def test_prepad_kv_valid_matches_unpadded(self, rng):
         """Pre-padded KV tokens + kv_valid (decoder-memory pre-pad path)
         reproduce the unpadded kernel exactly: same fwd output, same dq and
