@@ -159,8 +159,10 @@ class RefTokenCache:
         :param ref_imgs: (B, K, H, W, 3) normalised pixels (host numpy).
         :param skipped: optional (B, K) bool — slots whose PIXELS are
             placeholder zeros because the loader skipped decoding on a cache
-            hit; they MUST resolve from the cache (raises if evicted —
-            raise ``max_items`` if that ever fires).
+            hit; they resolve from RAM, disk, or a same-batch non-skipped
+            slot of the same image (whose miss-encode repopulates the key);
+            raises only when none of those sources exist — raise
+            ``max_items`` if that ever fires.
         :param valid_hw: optional per-item (B, 2) true pixel extents for
             BUCKET-PADDED batches (shape-bucketed serving): an item's K refs
             share its shape; misses encode with the mask and cache under a
@@ -184,29 +186,43 @@ class RefTokenCache:
         keys = [[self._key(ref_paths[kk][bb], ref_imgs.shape[2:4], valids[bb])
                  for kk in range(k)] for bb in range(b)]
 
-        # unique misses, first-occurrence order
+        # unique misses, first-occurrence order; skipped slots validate AFTER
+        # the miss pass, so an entry evicted between a worker's has() and
+        # this gather() is rescued when ANOTHER slot of the same batch
+        # carries real pixels for the same image (its encode repopulates the
+        # key) — only a skipped slot with no RAM, disk, or same-batch pixel
+        # source is a hard error
         miss: "OrderedDict[tuple, tuple]" = OrderedDict()
         n_skipped = 0
+        skipped_keys: list[tuple] = []
         for bb in range(b):
             for kk in range(k):
                 key = keys[bb][kk]
                 if skipped is not None and skipped[bb][kk]:
-                    with self._lock:
-                        in_ram = key in self._cache
-                    if not in_ram and self._disk_load(key) is None:
-                        raise RuntimeError(
-                            f"decode-skipped reference evicted from the token "
-                            f"cache before use: {key[0]} — raise "
-                            f"this_main.ref_token_cache_max_items"
-                        )
                     n_skipped += 1
+                    skipped_keys.append(key)
                     continue
                 with self._lock:
                     in_ram = key in self._cache
                 if not in_ram and key not in miss and self._disk_load(key) is None:
                     miss[key] = (ref_imgs[bb, kk], valids[bb])
+        for key in skipped_keys:
+            with self._lock:
+                in_ram = key in self._cache
+            if in_ram or key in miss:
+                continue
+            if self._disk_load(key) is None:
+                raise RuntimeError(
+                    f"decode-skipped reference evicted from the token "
+                    f"cache before use: {key[0]} — raise "
+                    f"this_main.ref_token_cache_max_items"
+                )
+        # count miss occurrences over non-skipped slots only (a rescued
+        # skipped slot is already accounted under skipped_decodes)
         n_miss_occurrences = sum(
-            1 for bb in range(b) for kk in range(k) if keys[bb][kk] in miss
+            1 for bb in range(b) for kk in range(k)
+            if keys[bb][kk] in miss
+            and not (skipped is not None and skipped[bb][kk])
         )
         # skipped slots are resolved-from-cache by construction; counting
         # them again as hits would inflate the effectiveness ratio

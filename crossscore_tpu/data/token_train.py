@@ -144,6 +144,12 @@ class TokenSpaceLoader(Loader):
             default=0,
         )
         need = 2 * (self.prefetch_batches + 1) * self.batch_size * (k + 1)
+        # a cache that holds the ENTIRE distinct-image corpus can never
+        # evict, so the in-flight working set is irrelevant — don't refuse
+        # small-corpus configs (the index walk is host metadata only)
+        from crossscore_tpu.tasks.encode_tokens import unique_image_paths
+
+        need = min(need, len(unique_image_paths(dataset)))
         if cache._max >= need:
             return
         msg = (

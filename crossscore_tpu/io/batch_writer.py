@@ -131,7 +131,8 @@ class BatchWriter:
             json.dump(item_paths, f, indent=2)
 
     def _write_query_images(self, batch_input, local_rank, batch_idx, n_valid):
-        imgs = np.asarray(batch_input["query/img"], dtype=np.float32)
+        # no dtype cast: to_display_rgb branches on uint8 (wire_uint8 batches)
+        imgs = np.asarray(batch_input["query/img"])
         for b, name in self._names(batch_input, local_rank, batch_idx, n_valid):
             rgb = u8(np.clip(to_display_rgb(imgs[b]), 0, 1))
             Image.fromarray(rgb).save(self.dirs["image_query"] / f"{name}.png")
@@ -141,7 +142,8 @@ class BatchWriter:
         if len(refs_paths) == 0:
             return
         refs_paths = np.array(refs_paths).T  # (B, K)
-        ref_imgs = np.asarray(batch_input["reference/cross/imgs"], dtype=np.float32)
+        # no dtype cast: to_display_rgb branches on uint8 (wire_uint8 batches)
+        ref_imgs = np.asarray(batch_input["reference/cross/imgs"])
         for b, name in self._names(batch_input, local_rank, batch_idx, n_valid):
             sub = self.dirs["image_reference"] / name / "cross"
             sub.mkdir(parents=True, exist_ok=True)

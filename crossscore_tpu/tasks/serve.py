@@ -635,7 +635,13 @@ def make_server(cfg):
             url = urlparse(self.path)
             q = parse_qs(url.query)
             map_mode = q.get("map", ["none"])[0]
-            n_body = int(self.headers.get("Content-Length", 0))
+            try:
+                n_body = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self.close_connection = True
+                self._send_json(400, {"error": "BadRequest: non-numeric "
+                                               "Content-Length header"})
+                return
             if max_body and n_body > max_body:
                 # typed 4xx BEFORE the body is read or decoded: a misdirected
                 # multi-GB upload must not tie up a handler thread in decode.

@@ -90,6 +90,28 @@ class TestBatchWriter:
         refs = list((tmp_path / "batch" / "image_reference").rglob("*.png"))
         assert len(refs) == 4
 
+    def test_uint8_wire_images_roundtrip(self, rng, tmp_path):
+        """wire_uint8 batches: saved query/reference PNGs must be the RAW
+        pixels, not ImageNet-denormalised garbage (regression: an explicit
+        float32 cast before to_display_rgb defeated its dtype branch and
+        wrote near-solid-white images)."""
+        cfg = load_config("default_predict")
+        set_key(cfg, "logger.predict.out_dir", str(tmp_path))
+        writer = BatchWriter(cfg, "predict")
+        batch, outputs = _fake_batch(rng), _outputs(rng)
+        q_u8 = rng.integers(0, 255, batch["query/img"].shape, dtype=np.uint8)
+        r_u8 = rng.integers(
+            0, 255, batch["reference/cross/imgs"].shape, dtype=np.uint8
+        )
+        batch["query/img"], batch["reference/cross/imgs"] = q_u8, r_u8
+        writer.write_out(batch, outputs, local_rank=0, batch_idx=0)
+        saved = sorted((tmp_path / "batch" / "image_query").glob("*.png"))
+        assert len(saved) == 2
+        got = np.array(Image.open(saved[0]))
+        np.testing.assert_array_equal(got, q_u8[0])
+        ref_png = sorted((tmp_path / "batch" / "image_reference").rglob("*.png"))[0]
+        np.testing.assert_array_equal(np.array(Image.open(ref_png)), r_u8[0, 0])
+
     def test_padded_items_not_written(self, rng, tmp_path):
         writer, _ = self._writer(tmp_path)
         batch, outputs = _fake_batch(rng), _outputs(rng)

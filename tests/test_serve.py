@@ -426,6 +426,26 @@ class TestHTTP:
         finally:
             conn.close()
 
+    def test_non_numeric_content_length_typed_400(self, server):
+        """A malformed Content-Length header gets a typed 400, not an
+        unhandled ValueError in the handler thread (regression: the body-cap
+        parse was hoisted out of the try block)."""
+        import http.client
+
+        srv, _ = server
+        host, port = srv.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        try:
+            conn.putrequest("POST", "/score")
+            conn.putheader("Content-Length", "abc")
+            conn.endheaders()
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 400
+            assert "Content-Length" in body["error"]
+        finally:
+            conn.close()
+
     def test_reload_during_request_storm(self, ws, tmp_path):
         """Hot reload issued mid-storm: every in-flight and subsequent request
         gets a valid response computed entirely with ONE checkpoint's weights+

@@ -85,6 +85,30 @@ class TestRefTokenCache:
         assert counter["calls"] == 3  # 5 misses -> chunks of 2 (last padded)
         assert counter["images"] == 6  # every chunk at the fixed batch size
 
+    def test_skipped_slot_rescued_by_same_batch_miss(self, tmp_path, rng):
+        """A decode-skipped slot whose entry was evicted is RESCUED when a
+        non-skipped slot of the same batch carries real pixels for the same
+        image (the miss-encode repopulates the key) — only a skipped slot
+        with no RAM, disk, or same-batch pixel source hard-fails."""
+        counter = {"calls": 0, "images": 0}
+        cache = RefTokenCache(_fake_encoder(counter), encode_batch=2,
+                              max_items=8)
+        paths = self._mk(tmp_path, 2)
+        imgs = rng.standard_normal((2, 1, 4, 4, 3)).astype(np.float32)
+        imgs[1, 0] = imgs[0, 0]  # both slots are the same image X
+        ref_paths = [[paths[0], paths[0]]]  # [k][b]: X in both batch rows
+        # slot (b=0) skipped with its entry NOT cached; slot (b=1) carries
+        # the real pixels — gather must encode once and serve both
+        out = cache.gather(ref_paths, imgs, skipped=[[True], [False]])
+        np.testing.assert_allclose(out[0, 0, 0, 0], imgs[0, 0].sum(), rtol=1e-6)
+        np.testing.assert_array_equal(out[0, 0], out[1, 0])
+        # with NO pixel source anywhere, the skipped slot still hard-fails
+        fresh = RefTokenCache(_fake_encoder(counter), encode_batch=2,
+                              max_items=8)
+        only_skipped = rng.standard_normal((1, 1, 4, 4, 3)).astype(np.float32)
+        with pytest.raises(RuntimeError, match="evicted"):
+            fresh.gather([[paths[1]]], only_skipped, skipped=[[True]])
+
     def test_lru_eviction(self, tmp_path, rng):
         counter = {"calls": 0, "images": 0}
         cache = RefTokenCache(_fake_encoder(counter), encode_batch=1, max_items=2)

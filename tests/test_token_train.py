@@ -323,6 +323,35 @@ class TestTokenSpaceLoader:
         with pytest.raises(ValueError, match="multiple"):
             TokenSpaceLoader(_uncropped_ds(token_ws), None, crop_size=50, batch_size=2)
 
+    def test_cache_capacity_capped_by_corpus(self, setup, token_ws):
+        """The startup working-set check must not refuse a cache that holds
+        the ENTIRE distinct-image corpus — eviction can never occur there,
+        whatever the in-flight window is (regression: `need` ignored the
+        dataset size, so small-corpus configs failed at startup)."""
+        from crossscore_tpu.data.token_cache import RefTokenCache
+        from crossscore_tpu.tasks.encode_tokens import unique_image_paths
+
+        cfg, model, params, _, _ = setup
+        encode = jax.jit(make_backbone_encoder(cfg))
+        ds = _uncropped_ds(token_ws)
+        n_corpus = len(unique_image_paths(ds))
+        # big batch/prefetch => in-flight working set far above max_items
+        cache = RefTokenCache(
+            lambda imgs, valid_hw=None: encode(params, imgs),
+            encode_batch=4, max_items=n_corpus,
+        )
+        TokenSpaceLoader(ds, cache, crop_size=56, batch_size=8,
+                         num_workers=2, prefetch_batches=8)  # must not raise
+        # but a cache smaller than BOTH the corpus and the working set
+        # still fails fast
+        tiny = RefTokenCache(
+            lambda imgs, valid_hw=None: encode(params, imgs),
+            encode_batch=4, max_items=2,
+        )
+        with pytest.raises(ValueError, match="working set"):
+            TokenSpaceLoader(_uncropped_ds(token_ws), tiny, crop_size=56,
+                             batch_size=8, num_workers=2, prefetch_batches=8)
+
 
 # ---------------------------------------------------------------- stage 3
 
