@@ -162,7 +162,7 @@ class NvsDataset:
             # auto-pick the same way keeps sibling dirs (e.g. packed record
             # shards) from being mistaken for a resolution
             res_dirs = sorted(
-                n for n in os.listdir(dataset_path) if n.startswith("res")
+                n for n in os.listdir(dataset_path) if n.startswith("res_")
             ) or sorted(os.listdir(dataset_path))
             resolution = res_dirs[0]
         self.dataset_path = Path(dataset_path, resolution)

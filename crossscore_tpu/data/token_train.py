@@ -159,12 +159,20 @@ class TokenSpaceLoader(Loader):
             f"with the decode-skip path — raise "
             f"this_main.ref_token_cache_max_items to >= {need}"
         )
-        if cache._dir is None:
+        from crossscore_tpu.data import fastimage
+
+        if cache._dir is None and fastimage.available():
+            # the decode-skip hooks (tasks/train.py) are only installed when
+            # the native decoder is present; without them every slot carries
+            # real pixels and eviction just re-encodes — correct, only slower
             raise ValueError(msg)
         import warnings
 
-        warnings.warn(msg + " (disk store present: evictions degrade to "
-                      "reloads, not crashes)", RuntimeWarning, stacklevel=3)
+        warnings.warn(msg + (" (disk store present: evictions degrade to "
+                             "reloads, not crashes)" if cache._dir is not None
+                             else " (no native decoder: decode-skip is off, "
+                                  "evictions degrade to re-encodes)"),
+                      RuntimeWarning, stacklevel=3)
 
     def _plan(self, epoch: int) -> list:
         return [

@@ -642,6 +642,13 @@ def make_server(cfg):
                 self._send_json(400, {"error": "BadRequest: non-numeric "
                                                "Content-Length header"})
                 return
+            if n_body < 0:
+                # rfile.read(-1) would block until the client closes — the
+                # thread-exhaustion hole the body cap exists to prevent.
+                self.close_connection = True
+                self._send_json(400, {"error": "BadRequest: negative "
+                                               "Content-Length header"})
+                return
             if max_body and n_body > max_body:
                 # typed 4xx BEFORE the body is read or decoded: a misdirected
                 # multi-GB upload must not tie up a handler thread in decode.

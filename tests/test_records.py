@@ -70,6 +70,31 @@ def test_dataset_identical_via_store(packed_ws, monkeypatch):
             np.testing.assert_array_equal(a[key], b[key], err_msg=key)
 
 
+def test_resolution_autopick_skips_non_res_dirs(packed_ws):
+    """``resolution=None`` discovers res_* dirs exactly like the reference
+    (nvs_dataset.py:122-131); a sibling dir that merely STARTS with "res"
+    (e.g. "res2x_records", which sorts before "res_540") must not be picked
+    (regression: the filter matched ``res`` instead of ``res_``)."""
+    from crossscore_tpu.data.nvs_index import NvsDataset
+
+    decoy = packed_ws / "datadir" / "res2x_records"
+    decoy.mkdir(exist_ok=True)  # no split.json inside — picking it would raise
+    try:
+        ds = NvsDataset(
+            dataset_path=str(packed_ws / "datadir"),
+            resolution=None,
+            data_split="train",
+            neighbour_config={"cross": 2, "strategy": "random"},
+            metric_type="ssim",
+            metric_min=0,
+            metric_max=1,
+            crop_size=56,
+        )
+        assert ds.dataset_path.name.startswith("res_")
+    finally:
+        decoy.rmdir()
+
+
 def test_missing_key_falls_back_to_fs(packed_ws, tmp_path):
     """Images not present in the store (e.g. files added after packing) are
     read from the filesystem transparently."""

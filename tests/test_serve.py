@@ -446,6 +446,27 @@ class TestHTTP:
         finally:
             conn.close()
 
+    def test_negative_content_length_typed_400(self, server):
+        """'Content-Length: -1' must get a typed 400 — rfile.read(-1) reads
+        until EOF, so an unchecked negative length lets a client that never
+        closes tie up a handler thread forever (the exact thread-exhaustion
+        hole the body cap exists to prevent)."""
+        import http.client
+
+        srv, _ = server
+        host, port = srv.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        try:
+            conn.putrequest("POST", "/score")
+            conn.putheader("Content-Length", "-1")
+            conn.endheaders()  # body never sent; server must answer anyway
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 400
+            assert "negative" in body["error"]
+        finally:
+            conn.close()
+
     def test_reload_during_request_storm(self, ws, tmp_path):
         """Hot reload issued mid-storm: every in-flight and subsequent request
         gets a valid response computed entirely with ONE checkpoint's weights+

@@ -352,6 +352,31 @@ class TestTokenSpaceLoader:
             TokenSpaceLoader(_uncropped_ds(token_ws), tiny, crop_size=56,
                              batch_size=8, num_workers=2, prefetch_batches=8)
 
+    def test_cache_capacity_warns_without_native_decoder(
+            self, setup, token_ws, monkeypatch):
+        """Without the native decoder the decode-skip hooks are never
+        installed (tasks/train.py gates them on fastimage.available()), so
+        every slot carries real pixels and eviction just re-encodes — the
+        undersized-cache check must warn, not refuse to start (regression:
+        it raised unconditionally)."""
+        import warnings
+
+        from crossscore_tpu.data import fastimage
+        from crossscore_tpu.data.token_cache import RefTokenCache
+
+        cfg, model, params, _, _ = setup
+        encode = jax.jit(make_backbone_encoder(cfg))
+        monkeypatch.setattr(fastimage, "available", lambda: False)
+        tiny = RefTokenCache(
+            lambda imgs, valid_hw=None: encode(params, imgs),
+            encode_batch=4, max_items=2,
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            TokenSpaceLoader(_uncropped_ds(token_ws), tiny, crop_size=56,
+                             batch_size=8, num_workers=2, prefetch_batches=8)
+        assert any("working set" in str(w.message) for w in caught)
+
 
 # ---------------------------------------------------------------- stage 3
 

@@ -38,6 +38,7 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))  # crossscore_tpu imports on every branch
 
 # arm-invariant override sets; the corpus geometry must keep crop <= trimmed
 # image in BOTH modes (token mode %14-trims full images first)
@@ -99,7 +100,6 @@ def ensure_corpus(root: Path, preset: dict, pack_records: bool) -> list[str]:
     return the dataset overrides."""
     res_dir = root / "res_540"
     if not (res_dir / "split.json").exists():
-        sys.path.insert(0, str(REPO))
         import jax
 
         jax.config.update("jax_platforms", "cpu")

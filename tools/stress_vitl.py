@@ -172,7 +172,9 @@ def main(argv=None):
         print(f"  compile+warmup: {time.perf_counter() - t0:.0f}s "
               f"{_mem_stats(jax)}", flush=True)
         dts = []
-        for mult in (0.8, 0.9, 1.0):
+        # never 1.0: that would re-dispatch the warmup's exact (program,
+        # inputs) pair, which the relay memoises (CLAUDE.md timing hazards)
+        for mult in (0.8, 0.9, 1.1):
             feed2 = [
                 jax.tree_util.tree_map(lambda v: v * jnp.asarray(mult, v.dtype), x)
                 for x in feed
