@@ -40,6 +40,57 @@ def _fold_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, epoch, index]))
 
 
+def prepare_global_shard(batch: dict, bs: int) -> dict:
+    """Host-side prep for a batch that is one process's SHARD of a global one.
+
+    On a mesh spanning multiple processes every jitted-call operand must be a
+    global array assembled from each process's local rows; a host scalar that
+    differs by process — the ``_valid`` prefix count — must never ride into
+    the jitted call (the single program would receive divergent values per
+    process). The prefix count therefore becomes a per-row ``_valid_mask``
+    that assembles like any other batch array, while ``_valid`` stays behind
+    as a plain python int for host-side consumers (writers, metric weights).
+    A shared ``(2,)`` ``_valid_hw`` is promoted to the per-item ``(B, 2)``
+    form for the same reason.
+    """
+    out = dict(batch)
+    n_valid = out.get("_valid")
+    if n_valid is not None:
+        n = int(n_valid)
+        out["_valid"] = n  # host-only from here on
+        out["_valid_mask"] = (np.arange(bs) < n).astype(np.float32)
+    vhw = out.get("_valid_hw")
+    if vhw is not None and getattr(vhw, "ndim", 0) == 1:
+        out["_valid_hw"] = np.tile(np.asarray(vhw)[None], (bs, 1))
+    return out
+
+
+def _ship(batch: dict, sharding, bs: int) -> dict:
+    """Push a collated batch to device under ``sharding``.
+
+    Fully-addressable shardings (single process, or host-local meshes) take
+    the plain ``device_put`` path. A sharding over a mesh that spans
+    processes means each process's batch is its shard of the global batch:
+    ``device_put`` would instead treat it as the whole global value and slice
+    out only the local rows — each process feeding a DIFFERENT "global"
+    array, silently training on 1/P of the decoded data — so those batches
+    are assembled with ``jax.make_array_from_process_local_data``.
+    """
+    import jax
+
+    if getattr(sharding, "is_fully_addressable", True):
+        return {
+            k: (jax.device_put(v, sharding) if isinstance(v, np.ndarray) and v.ndim > 0 else v)
+            for k, v in batch.items()
+        }
+    batch = prepare_global_shard(batch, bs)
+    return {
+        k: (jax.make_array_from_process_local_data(sharding, v)
+            if isinstance(v, np.ndarray) and v.ndim > 0 else v)
+        for k, v in batch.items()
+    }
+
+
 def collate(items: list[dict]) -> dict:
     """Stack item dicts into batch arrays; item_paths collates to lists."""
     out: dict = {}
@@ -104,7 +155,12 @@ class Loader:
             idx = _fold_rng(self.seed, epoch, _PERM_SENTINEL).permutation(n)
         if self.num_shards > 1:
             total = -(-n // self.num_shards) * self.num_shards
-            padded = np.concatenate([idx, idx[: total - n]])
+            # np.resize wraps cyclically, so this also covers datasets
+            # SMALLER than the shard count (total - n > n), where a single
+            # concat of idx[:total-n] would come up short and leave shards
+            # with unequal lengths (desynchronising the per-process step
+            # counts that feed collective reductions)
+            padded = np.resize(idx, total)
             local = padded[self.shard_index :: self.num_shards]
             global_pos = self.shard_index + np.arange(len(local)) * self.num_shards
             return local, int(np.sum(global_pos < n))
@@ -186,12 +242,7 @@ class Loader:
                     )
                     batch["_valid"] = np.asarray(n_valid, np.int32)
                     if self.sharding is not None:
-                        import jax
-
-                        batch = {
-                            k: (jax.device_put(v, self.sharding) if isinstance(v, np.ndarray) and v.ndim > 0 else v)
-                            for k, v in batch.items()
-                        }
+                        batch = _ship(batch, self.sharding, bs)
                     if not put_checked(batch):
                         return
             try:
@@ -202,12 +253,19 @@ class Loader:
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
         try:
+            producer_done = False
             while True:
                 try:
                     batch = out_q.get(timeout=0.5)
                 except queue.Empty:
-                    if not producer.is_alive():
+                    if producer_done:
                         break
+                    # the producer can enqueue its final batch(es) and exit
+                    # in the window between our timeout firing and this
+                    # liveness check — don't break yet; make one more full
+                    # get() pass first (the queue cannot grow after producer
+                    # death, so a second Empty then means true EOF)
+                    producer_done = not producer.is_alive()
                     continue
                 if batch is None:
                     break

@@ -89,14 +89,27 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=None, enable_async_checkpointing=True),
         )
 
-    def should_save(self, step: int, epoch_end: bool = False, epoch: int = 0) -> bool:
+    def should_save(
+        self, step: int, epoch_end: bool = False, epoch: int = 0,
+        wall_clock: bool = True,
+    ) -> bool:
+        """``wall_clock=False`` restricts the decision to the step/epoch
+        cadences, which are deterministic functions of (config, step) and
+        therefore uniform across processes; the wall-clock interval is a
+        per-host clock and multi-host callers must agree on it separately
+        (:meth:`wall_clock_due` + a broadcast — orbax saves of global arrays
+        are collective, so every process must reach save() together)."""
         if self.every_n_train_steps and step > 0 and step % self.every_n_train_steps == 0:
             return True
         if epoch_end and self.every_n_epochs and (epoch + 1) % self.every_n_epochs == 0:
             return True
-        if self.interval_s is not None and time.monotonic() - self._last_save_t >= self.interval_s:
-            return True
-        return False
+        return wall_clock and self.wall_clock_due()
+
+    def wall_clock_due(self) -> bool:
+        return (
+            self.interval_s is not None
+            and time.monotonic() - self._last_save_t >= self.interval_s
+        )
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)

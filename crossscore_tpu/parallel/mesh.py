@@ -60,12 +60,33 @@ def make_mesh(
     count that divides it (per-device batches must be equal under SPMD).
     """
     devices = jax.devices()
-    n = len(devices) if n_devices in (None, -1) else n_devices
+    n = len(devices) if n_devices in (None, -1) else min(n_devices, len(devices))
+    if n < model_parallel:
+        # without this the batch clamp below computes data_par = 0 and
+        # silently builds an empty mesh that fails later with an opaque
+        # shape error instead of here
+        raise ValueError(
+            f"model_parallel={model_parallel} exceeds the {n} available devices"
+        )
     if batch_size is not None:
         data_par = n // model_parallel
-        while data_par > 1 and batch_size % data_par:
-            data_par -= 1
-        n = data_par * model_parallel
+        if jax.process_count() > 1:
+            # multi-host: clamping would drop whole hosts' devices from the
+            # mesh, which the per-process global-batch assembly
+            # (data/loader.py _ship) cannot express — the GLOBAL batch
+            # (per-process batch x process count) must divide instead
+            global_batch = batch_size * jax.process_count()
+            if global_batch % data_par:
+                raise ValueError(
+                    f"global batch {global_batch} (= {batch_size} per process"
+                    f" x {jax.process_count()} processes) is not divisible "
+                    f"over the {data_par}-way data axis; adjust "
+                    f"data.loader.train.batch_size or trainer.devices"
+                )
+        else:
+            while data_par > 1 and batch_size % data_par:
+                data_par -= 1
+            n = data_par * model_parallel
     devices = np.asarray(devices[:n])
     if model_parallel > 1:
         if n % model_parallel:

@@ -40,9 +40,13 @@ def make_view_parallel_apply(
     The model must be constructed with ``attention_impl=f"cp:{axis_name}"``.
     """
     axis_name = axis_name or mesh.axis_names[0]
-    if not model.cfg.attention_impl.startswith("cp:"):
+    impl = model.cfg.attention_impl
+    # the axis NAME must match too — a 'cp:view' model on a ('data',) mesh
+    # would otherwise pass this guard and die deep in tracing with an
+    # unbound-axis-name error from the softmax-combine collectives
+    if not impl.startswith("cp:") or impl.split(":", 1)[1] != axis_name:
         raise ValueError(
-            f"model.attention_impl must be 'cp:{axis_name}', got {model.cfg.attention_impl!r}"
+            f"model.attention_impl must be 'cp:{axis_name}', got {impl!r}"
         )
     if need_attn_weights:
         raise NotImplementedError("attention-weight extraction is a single-device debug path")
@@ -71,9 +75,10 @@ def make_view_parallel_apply_tokens(
     via the same context-parallel softmax; only the query is encoded (on
     every chip — its cost is 1/K of the uncached VP step's per-chip work)."""
     axis_name = axis_name or mesh.axis_names[0]
-    if not model.cfg.attention_impl.startswith("cp:"):
+    impl = model.cfg.attention_impl
+    if not impl.startswith("cp:") or impl.split(":", 1)[1] != axis_name:
         raise ValueError(
-            f"model.attention_impl must be 'cp:{axis_name}', got {model.cfg.attention_impl!r}"
+            f"model.attention_impl must be 'cp:{axis_name}', got {impl!r}"
         )
 
     def body(params, query, tokens_local):

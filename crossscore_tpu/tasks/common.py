@@ -249,6 +249,68 @@ def iter_bucketed_items(batch: dict, outputs: dict):
         yield i, *crop_bucketed(b1, o1)
 
 
+def device_view(batch: dict) -> dict:
+    """Strip host-only keys from a loader batch before a jitted call.
+
+    When the loader assembles GLOBAL multi-host batches, ``_valid`` stays
+    behind as a plain python int (its device form is the per-row
+    ``_valid_mask``); feeding the per-process-divergent int into the single
+    jitted program would break SPMD. Single-process batches (no
+    ``_valid_mask``) pass through untouched."""
+    if "_valid_mask" not in batch:
+        return batch
+    return {k: v for k, v in batch.items() if k not in ("_valid", "item_paths")}
+
+
+def host_rows(x):
+    """This process's batch rows of a (possibly global) array, as numpy.
+
+    Fully-addressable or fully-replicated arrays fetch directly. A
+    data-sharded GLOBAL array (multi-host) cannot be fetched whole from one
+    process — its addressable shards are exactly this process's rows (the
+    rows this process contributed via ``make_array_from_process_local_data``),
+    so they are concatenated in global-index order. Only valid for arrays
+    sharded (or replicated) along axis 0."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        return x
+    try:
+        return np.asarray(x)
+    except Exception:
+        return _concat_addressable_rows(x)
+
+
+def _concat_addressable_rows(x):
+    """Concatenate a jax Array's addressable shards in global-row order,
+    deduping replicas (e.g. shards repeated over a model axis)."""
+    import numpy as np
+
+    rows = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in rows:
+            rows[start] = s
+    return np.concatenate(
+        [np.asarray(rows[k].data) for k in sorted(rows)], axis=0
+    )
+
+
+def host_batch(batch: dict) -> dict:
+    """Host (numpy) view of this process's rows of a loader batch — for
+    visualisers/writers that pair batch arrays with the process-local
+    ``item_paths``. Single-process: returns the batch unchanged (the
+    consumers np.asarray on demand)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return batch
+    return {
+        k: (host_rows(v) if hasattr(v, "addressable_shards") else v)
+        for k, v in batch.items()
+    }
+
+
 def all_process_weighted_mean(series: list, weights: list) -> list:
     """Weighted means of one or more metric series, all-reduced across hosts.
 

@@ -287,22 +287,30 @@ def train(cfg) -> Path:
         if max_batches <= 0:
             return  # don't even spin up the loader: its producer thread
             # eagerly decodes a full prefetch batch the consumer would discard
+        from crossscore_tpu.tasks.common import device_view, host_batch, host_rows
+
         losses, corrs, weights = [], [], []
         for vb_idx, vbatch in enumerate(loader_val.epoch(epoch)):
             if vb_idx >= max_batches:
                 break
-            # _valid rides into the jitted step: padded duplicate items in the
-            # final batch are masked out of the metrics
-            varrays = {k: v for k, v in vbatch.items() if k != "item_paths"}
+            # _valid rides into the jitted step as the padded-duplicate mask
+            # (single-process scalar prefix, or the per-row _valid_mask of a
+            # multi-host global batch — device_view strips the host-side int
+            # there, which diverges per process)
+            varrays = device_view({k: v for k, v in vbatch.items() if k != "item_paths"})
             pred, metrics = eval_step(state.params, varrays)
             losses.append(float(metrics["loss"]))
             corrs.append(float(metrics["correlation_cross"]))
             weights.append(float(vbatch.get("_valid", len(vbatch["query/img"]))))
-            summariser.update(vbatch, {"score_map_ref_cross": np.asarray(pred, np.float32)})
+            # host consumers pair arrays with the process-local item_paths —
+            # under multi-host they get this process's rows of the global pred
+            pred_np = np.asarray(host_rows(pred), np.float32)
+            hbatch = host_batch(vbatch)
+            summariser.update(hbatch, {"score_map_ref_cross": pred_np})
             if proc0 and vb_idx < cfg.logger.cache_size.validation.n_fig:
                 import matplotlib.pyplot as plt
 
-                fig = visualiser.vis(vbatch, {"score_map_ref_cross": np.asarray(pred, np.float32)})
+                fig = visualiser.vis(hbatch, {"score_map_ref_cross": pred_np})
                 fig.savefig(run_dir / "vis" / f"val_e{epoch:03}_B{vb_idx:02}.png")
                 plt.close(fig)
         if losses:
@@ -340,6 +348,28 @@ def train(cfg) -> Path:
         run_validation(0, global_step, cfg.trainer.num_sanity_val_steps)
 
     pending_losses: list = []  # device scalars; pulled to host at log cadence
+
+    def ckpt_due(step: int, epoch_end: bool = False, epoch: int = 0) -> bool:
+        """Uniform-across-processes checkpoint decision.
+
+        Orbax saves of globally-sharded arrays are COLLECTIVE — every process
+        must enter save() together — so the decision must not be proc0's
+        alone. Step/epoch cadences are deterministic in (config, step) and
+        need no coordination; the wall-clock interval (a per-host clock) is
+        proc0's verdict broadcast to all, checked at a coarse step cadence so
+        the hot loop doesn't pay a collective every step (a 2 h cadence
+        doesn't need single-step resolution)."""
+        if ckpt_mgr.should_save(step, epoch_end=epoch_end, epoch=epoch, wall_clock=False):
+            return True
+        if not (epoch_end or step % 16 == 0):
+            return False
+        if jax.process_count() == 1:
+            return ckpt_mgr.wall_clock_due()
+        from jax.experimental import multihost_utils
+
+        return bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(proc0 and ckpt_mgr.wall_clock_due())
+        ))
 
     # sustained end-to-end throughput window (loader in the loop): warm up
     # for N steps (compile + cache fill), then time to the end of the run.
@@ -389,8 +419,15 @@ def train(cfg) -> Path:
                 pending_losses.append(metrics["loss"])
 
             if proc0 and global_step % cfg.logger.vis_scalar_every_n_train_steps == 0:
-                for x in np.asarray(jnp.stack(pending_losses)):
-                    train_cache["loss"].update(float(x))
+                if jax.process_count() > 1:
+                    # replicated global scalars fetch locally one by one;
+                    # jnp.stack would DISPATCH a computation on
+                    # non-fully-addressable arrays from this process alone
+                    for x in pending_losses:
+                        train_cache["loss"].update(float(x))
+                else:
+                    for x in np.asarray(jnp.stack(pending_losses)):
+                        train_cache["loss"].update(float(x))
                 pending_losses.clear()
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.log(
@@ -416,22 +453,28 @@ def train(cfg) -> Path:
                         and global_step % cfg.logger.vis_imgs_every_n_train_steps == 0)
             need_hist = proc0 and global_step % cfg.logger.vis_histogram_every_n_train_steps == 0
             if need_fig or need_hist:
-                pred = np.asarray(pred_dev, np.float32)
+                from crossscore_tpu.tasks.common import host_batch, host_rows
+
+                # under multi-host the batch/pred are global arrays — fetch
+                # this process's rows (pairing stays consistent: they are the
+                # rows this process decoded)
+                pred = np.asarray(host_rows(pred_dev), np.float32)
+                hbatch = host_batch(batch)
                 if need_fig:
                     import matplotlib.pyplot as plt
 
-                    fig = visualiser.vis(batch, {"score_map_ref_cross": pred})
+                    fig = visualiser.vis(hbatch, {"score_map_ref_cross": pred})
                     fig.savefig(run_dir / "vis" / f"train_s{global_step:06}.png")
                     logger.log_figure("train/batch_vis", fig, global_step)
                     plt.close(fig)
                 if need_hist:
-                    gt = np.asarray(batch["query/score_map"], np.float32)
+                    gt = np.asarray(host_rows(hbatch["query/score_map"]), np.float32)
                     logger.log_histogram("train/score_hist", pred, global_step)
                     logger.log_histogram(
                         "train/l1_diff_hist", np.abs(pred - gt), global_step
                     )
 
-            if proc0 and ckpt_mgr.should_save(global_step):
+            if ckpt_due(global_step):
                 ckpt_mgr.save(global_step, state)
 
             if max_steps > 0 and global_step >= max_steps:
@@ -444,7 +487,7 @@ def train(cfg) -> Path:
         # reference leaves the Trainer default n=1)
         if (epoch + 1) % max(1, int(cfg.trainer.get("check_val_every_n_epoch", 1) or 1)) == 0:
             run_validation(epoch, global_step, limit_val)
-        if proc0 and ckpt_mgr.should_save(global_step, epoch_end=True, epoch=epoch):
+        if ckpt_due(global_step, epoch_end=True, epoch=epoch):
             ckpt_mgr.save(global_step, state)
 
     if sustain_t0 is not None and global_step > sustain_s0:
@@ -456,7 +499,9 @@ def train(cfg) -> Path:
             logger.log({"train/sustained_ms_per_step": ms,
                         "train/sustained_steps": n}, global_step)
 
-    if proc0 and cfg.trainer.checkpointing.save_last:
+    # save_last is a config flag, uniform across processes — and the save is
+    # collective, so it must NOT be proc0-gated
+    if cfg.trainer.checkpointing.save_last:
         ckpt_mgr.save(global_step, state, force=True)
         ckpt_mgr.wait()
     if logger is not None:

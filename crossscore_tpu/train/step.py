@@ -40,33 +40,40 @@ def create_train_state(params, tx) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 
-def _weights(batch, shape) -> "jnp.ndarray | None":
+def _weights(batch, shape, patch: int = 14) -> "jnp.ndarray | None":
     """(B, H, W) 0/1 weights excluding loader padding from eval metrics.
 
     Two padding sources, both from ``data/loader.py``: duplicate items in the
-    final partial batch (``batch["_valid"]``, reference evaluates each item
-    exactly once, ``task/core.py:379-393``) and bucket-padded image regions
-    under shape-bucketed inference (``batch["_valid_hw"]``; the valid jigsaw
-    extent is ``(h//14*14, w//14*14)``)."""
+    final partial batch (``batch["_valid"]`` prefix count, or its per-row
+    ``batch["_valid_mask"]`` form emitted for multi-host global batches —
+    there the valid rows are a prefix within each PROCESS's block, not a
+    global prefix; reference evaluates each item exactly once,
+    ``task/core.py:379-393``) and bucket-padded image regions under
+    shape-bucketed inference (``batch["_valid_hw"]``; the valid jigsaw extent
+    is ``(h//patch*patch, w//patch*patch)``, with ``patch`` the model's patch
+    size)."""
     b, hgt, wdt = shape
     valid = batch.get("_valid")
+    valid_mask = batch.get("_valid_mask")
     valid_hw = batch.get("_valid_hw")
-    if valid is None and valid_hw is None:
+    if valid is None and valid_mask is None and valid_hw is None:
         return None
     w = jnp.ones(shape, jnp.float32)
-    if valid is not None:
+    if valid_mask is not None:
+        w = w * valid_mask.astype(jnp.float32)[:, None, None]
+    elif valid is not None:
         w = w * (jnp.arange(b) < valid).astype(jnp.float32)[:, None, None]
     if valid_hw is not None:
         if jnp.ndim(valid_hw) == 2:  # (B, 2) per-item (bucket-packed)
-            ch = (valid_hw[:, 0] // 14) * 14  # (B,)
-            cw = (valid_hw[:, 1] // 14) * 14
+            ch = (valid_hw[:, 0] // patch) * patch  # (B,)
+            cw = (valid_hw[:, 1] // patch) * patch
             region = (jnp.arange(hgt)[None, :, None] < ch[:, None, None]) & (
                 jnp.arange(wdt)[None, None, :] < cw[:, None, None]
             )
             w = w * region.astype(jnp.float32)
         else:
-            ch = (valid_hw[0] // 14) * 14
-            cw = (valid_hw[1] // 14) * 14
+            ch = (valid_hw[0] // patch) * patch
+            cw = (valid_hw[1] // patch) * patch
             region = (jnp.arange(hgt)[:, None] < ch) & (jnp.arange(wdt)[None, :] < cw)
             w = w * region.astype(jnp.float32)[None]
     return w
@@ -105,7 +112,7 @@ def loss_fn(model: CrossScoreNet, params, batch):
     pred = out["score_map_ref_cross"]
     gt = batch["query/score_map"]
     l1 = jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32))
-    w = _weights(batch, l1.shape)
+    w = _weights(batch, l1.shape, model.cfg.patch_size)
     if w is None:
         loss = l1.mean()
     else:

@@ -258,3 +258,73 @@ class TestLoaderLifecycle:
         loader = Loader(Broken(), batch_size=2, num_workers=2)
         with pytest.raises(RuntimeError, match="boom"):
             list(loader.epoch(0))
+
+
+class TestShardWrapAndGlobalBatches:
+    def test_dataset_smaller_than_shard_count(self, dataset_root):
+        """n < num_shards: wrap-around padding must still give every shard
+        the same length (unequal shards desynchronise per-process step
+        counts feeding collective reductions), with duplicates masked so the
+        union of valid items covers the dataset exactly once."""
+        ds = _make_ds(dataset_root, return_item_paths=True)
+        n = len(ds)
+        shards = n + 5  # strictly more shards than samples
+        lengths, seen = [], []
+        for shard in range(shards):
+            loader = Loader(
+                ds, batch_size=2, num_workers=1, seed=3,
+                shard_index=shard, num_shards=shards,
+            )
+            idx, n_real = loader._epoch_indices(0)
+            lengths.append(len(idx))
+            for b in loader.epoch(0):
+                seen.extend(b["item_paths"]["query/img"][: int(b["_valid"])])
+        assert len(set(lengths)) == 1  # equal-size shards
+        assert sorted(set(seen)) == sorted(seen)  # no valid duplicates
+        assert len(seen) == n  # every sample exactly once
+
+    def test_prepare_global_shard_valid_mask(self):
+        """Multi-host batch prep: the per-process _valid prefix count becomes
+        a per-row mask (assembled like any batch array) and a host-only int;
+        a shared (2,) _valid_hw is promoted to per-item (B, 2) form."""
+        from crossscore_tpu.data.loader import prepare_global_shard
+
+        b = {
+            "query/img": np.zeros((4, 8, 8, 3), np.float32),
+            "_valid": np.asarray(3, np.int32),
+            "_valid_hw": np.asarray([6, 8], np.int32),
+        }
+        out = prepare_global_shard(b, 4)
+        assert isinstance(out["_valid"], int) and out["_valid"] == 3
+        np.testing.assert_array_equal(out["_valid_mask"], [1.0, 1.0, 1.0, 0.0])
+        assert out["_valid_hw"].shape == (4, 2)
+        np.testing.assert_array_equal(out["_valid_hw"][2], [6, 8])
+        # batches without _valid pass through untouched
+        out2 = prepare_global_shard({"x": np.zeros(3)}, 4)
+        assert "_valid_mask" not in out2
+
+    def test_slow_final_batch_not_dropped(self, dataset_root):
+        """The consumer must not conclude EOF while the producer's final
+        batch is still in flight (regression: an Empty timeout racing the
+        producer's exit could drop queued batches)."""
+        import time as _t
+
+        ds = _make_ds(dataset_root)
+        n_items = len(ds)
+        real_get = ds.get_item
+
+        class SlowTail:
+            def __len__(self):
+                return n_items
+
+            def get_item(self, i, rng):
+                item = real_get(i, rng)
+                _t.sleep(0.02)
+                return item
+
+        loader = Loader(SlowTail(), batch_size=2, num_workers=1,
+                        prefetch_batches=1, seed=0)
+        expect = loader.batches_per_epoch()
+        for epoch in range(3):
+            got = sum(1 for _ in loader.epoch(epoch))
+            assert got == expect

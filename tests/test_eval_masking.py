@@ -159,3 +159,39 @@ class TestAllProcessWeightedMean:
         got = all_process_weighted_mean([losses, corrs], weights)
         assert got[0] == pytest.approx((4 + 8 + 8) / 10)
         assert got[1] == pytest.approx((2 + 1 + 2) / 10)
+
+
+class TestValidMaskVector:
+    def test_row_mask_matches_subset_metrics(self, model_and_params):
+        """The per-row ``_valid_mask`` form (multi-host global batches, where
+        valid rows are a prefix per PROCESS block, not a global prefix) must
+        reproduce the metrics of the clean subset — including a NON-prefix
+        pattern no scalar count could express."""
+        model, params = model_and_params
+        rng = np.random.default_rng(5)
+        full = _batch(rng, 4)
+        keep = np.asarray([1.0, 0.0, 1.0, 1.0], np.float32)  # row 1 is padding
+        clean = {k: v[np.asarray(keep, bool)] for k, v in full.items()}
+        masked = dict(full)
+        masked["_valid_mask"] = jnp.asarray(keep)
+
+        eval_step = jax.jit(make_eval_step(model))
+        _, m_clean = eval_step(params, clean)
+        _, m_masked = eval_step(params, masked)
+        assert float(m_clean["loss"]) == pytest.approx(float(m_masked["loss"]), rel=1e-5)
+        assert float(m_clean["correlation_cross"]) == pytest.approx(
+            float(m_masked["correlation_cross"]), rel=1e-4
+        )
+
+    def test_weights_use_model_patch_size(self):
+        """_weights floors the _valid_hw extent to the MODEL's patch size
+        (regression: a hardcoded 14 skewed masks for patch_size != 14)."""
+        from crossscore_tpu.train.step import _weights
+
+        batch = {"_valid_hw": jnp.asarray([20, 33], jnp.int32)}
+        w14 = _weights(batch, (1, 42, 42), patch=14)
+        w16 = _weights(batch, (1, 42, 42), patch=16)
+        assert float(w14[0, :, 0].sum()) == 14  # 20//14*14
+        assert float(w14[0, 0, :].sum()) == 28  # 33//14*14
+        assert float(w16[0, :, 0].sum()) == 16  # 20//16*16
+        assert float(w16[0, 0, :].sum()) == 32  # 33//16*16

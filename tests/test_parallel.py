@@ -50,6 +50,17 @@ class TestMesh:
         assert mesh.axis_names == ("data", "model")
         assert mesh.devices.shape == (4, 2)
 
+    def test_model_parallel_exceeding_devices_raises(self):
+        """model_parallel > devices must fail loudly here (regression: the
+        batch clamp computed data_par=0 and built an empty mesh that died
+        later with an opaque shape error)."""
+        with pytest.raises(ValueError, match="exceeds"):
+            make_mesh(4, model_parallel=8, batch_size=16)
+
+    def test_oversized_device_request_truncates(self):
+        mesh = make_mesh(64)  # only 8 exist
+        assert mesh.devices.shape == (8,)
+
     def test_tp_specs(self, model_and_params):
         _, params = model_and_params
         mesh = make_mesh(8, model_parallel=2)

@@ -30,6 +30,25 @@ class TestCheckpointManager:
         assert mgr.should_save(step=10, epoch_end=True, epoch=1)
         mgr.close()
 
+    def test_wall_clock_split_for_multihost_decisions(self, tmp_path):
+        """Multi-host callers need the wall-clock component separated: the
+        step/epoch cadences are deterministic in (config, step) and uniform
+        across processes, but the interval clock is per-host and must be
+        proc0-broadcast (orbax saves of global arrays are collective)."""
+        mgr = CheckpointManager(tmp_path, train_time_interval_hours=1e-6)
+        time.sleep(0.01)
+        assert mgr.wall_clock_due()
+        # deterministic-only view ignores the (due) wall clock
+        assert not mgr.should_save(step=1, wall_clock=False)
+        mgr.close()
+        mgr2 = CheckpointManager(
+            tmp_path, train_time_interval_hours=1e-6, every_n_train_steps=5
+        )
+        time.sleep(0.01)
+        assert mgr2.should_save(step=5, wall_clock=False)
+        assert not mgr2.should_save(step=4, wall_clock=False)
+        mgr2.close()
+
     def test_save_restore_roundtrip(self, tmp_path):
         state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.asarray(7)}
         mgr = CheckpointManager(tmp_path, train_time_interval_hours=None)
@@ -232,3 +251,55 @@ class TestServingPlan:
     def test_zero_reference_disables_cache(self):
         p = self._plan(zero_reference=True)
         assert not p.use_cache
+
+
+class TestMultiHostHelpers:
+    """Host-side halves of the multi-host global-batch design (single-process
+    behavior here; the multi-process branches are structure-tested since no
+    second process exists in CI)."""
+
+    def test_device_view_passthrough_single_process(self):
+        from crossscore_tpu.tasks.common import device_view
+
+        b = {"query/img": np.zeros((2, 4, 4, 3)), "_valid": np.asarray(2)}
+        assert device_view(b) is b  # no _valid_mask: untouched
+
+    def test_device_view_strips_host_keys_for_global_batches(self):
+        from crossscore_tpu.tasks.common import device_view
+
+        b = {
+            "query/img": np.zeros((2, 4, 4, 3)),
+            "_valid": 1,  # host int — per-process divergent, must not reach jit
+            "_valid_mask": np.asarray([1.0, 0.0], np.float32),
+            "item_paths": {"query/img": ["a", "b"]},
+        }
+        out = device_view(b)
+        assert set(out) == {"query/img", "_valid_mask"}
+
+    def test_host_rows_numpy_and_full_arrays(self):
+        from crossscore_tpu.tasks.common import host_rows
+
+        a = np.arange(12.0).reshape(4, 3)
+        assert host_rows(a) is a
+        np.testing.assert_array_equal(host_rows(jnp.asarray(a)), a)
+
+    def test_concat_addressable_rows_matches_full_fetch(self):
+        """The shard-concat fallback (the multi-host fetch path) reassembles
+        a data-sharded array in global-row order, deduping model-axis
+        replicas — pinned against np.asarray on the 8-device CPU mesh."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from crossscore_tpu.parallel import make_mesh
+        from crossscore_tpu.tasks.common import _concat_addressable_rows
+
+        a = np.arange(8 * 3.0).reshape(8, 3).astype(np.float32)
+        mesh = make_mesh(8)
+        sharded = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("data")))
+        np.testing.assert_array_equal(_concat_addressable_rows(sharded), a)
+        # replicas over a model axis dedupe to one copy per row range
+        mesh2 = make_mesh(8, model_parallel=2)
+        sharded2 = jax.device_put(
+            jnp.asarray(a), NamedSharding(mesh2, P("data"))
+        )
+        np.testing.assert_array_equal(_concat_addressable_rows(sharded2), a)

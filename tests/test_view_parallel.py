@@ -42,6 +42,15 @@ class TestViewParallel:
         with pytest.raises(ValueError, match="cp:"):
             make_view_parallel_apply(model, mesh)
 
+    def test_wrong_axis_name_raises(self):
+        """A cp model whose AXIS doesn't match the mesh axis must fail at
+        the guard (regression: only the 'cp:' prefix was checked, so the
+        mismatch died deep in tracing with an unbound-axis-name error)."""
+        mesh = make_mesh(2)  # axis name: 'data'
+        model = CrossScoreNet(_cfg("cp:view"))
+        with pytest.raises(ValueError, match="cp:data"):
+            make_view_parallel_apply(model, mesh)
+
     def test_gradients_flow(self, rng):
         """Training through view parallelism: grads wrt decoder params match
         the single-device model (backbone frozen via stop_gradient)."""
