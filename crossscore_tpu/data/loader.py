@@ -57,8 +57,16 @@ def prepare_global_shard(batch: dict, bs: int) -> dict:
     n_valid = out.get("_valid")
     if n_valid is not None:
         n = int(n_valid)
+        # mask length follows the actual row count: with pad_last=False a
+        # short final batch has fewer than bs rows, and a bs-long mask would
+        # mismatch the arrays shipped via make_array_from_process_local_data
+        rows = next(
+            (v.shape[0] for v in out.values()
+             if isinstance(v, np.ndarray) and v.ndim > 0),
+            bs,
+        )
         out["_valid"] = n  # host-only from here on
-        out["_valid_mask"] = (np.arange(bs) < n).astype(np.float32)
+        out["_valid_mask"] = (np.arange(rows) < n).astype(np.float32)
     vhw = out.get("_valid_hw")
     if vhw is not None and getattr(vhw, "ndim", 0) == 1:
         out["_valid_hw"] = np.tile(np.asarray(vhw)[None], (bs, 1))

@@ -628,6 +628,17 @@ class ConcatDataset:
     def __len__(self):
         return int(self._offsets[-1])
 
-    def get_item(self, idx: int, rng: np.random.Generator) -> dict:
+    def _locate(self, idx: int) -> tuple:
         d = int(np.searchsorted(self._offsets, idx, side="right")) - 1
-        return self.datasets[d].get_item(idx - int(self._offsets[d]), rng)
+        return self.datasets[d], idx - int(self._offsets[d])
+
+    def get_item(self, idx: int, rng: np.random.Generator) -> dict:
+        ds, local = self._locate(idx)
+        return ds.get_item(local, rng)
+
+    def get_item_shape(self, idx: int) -> tuple:
+        """Per-item output shape, for shape bucketing over multi-root
+        corpora (reference BASELINE config #4 evaluates a ConcatDataset of
+        method roots; tasks/{test,predict}.py probe shapes through this)."""
+        ds, local = self._locate(idx)
+        return ds.get_item_shape(local)

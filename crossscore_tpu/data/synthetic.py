@@ -40,6 +40,48 @@ def _smooth_field(rng: np.random.Generator, hw: tuple, grid: tuple) -> np.ndarra
     return np.kron(coarse, np.ones(reps, np.float32))[: hw[0], : hw[1]]
 
 
+def _box_blur(img: np.ndarray, iters: int = 3) -> np.ndarray:
+    """Cheap separable 3x3 blur (edge-replicated), iterated."""
+    out = img
+    for _ in range(iters):
+        p = np.pad(out, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        out = (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+               + p[1:-1, 1:-1]) / 5.0
+    return out
+
+
+# Distinct degradation processes for multi-"method" corpora (the reference
+# evaluates several NVS methods — gaussian / tensorf / nerfacto — over the
+# same scenes and summarises per (dataset, method),
+# reference ``utils/io/score_summariser.py:241-250``). Each process has its
+# own visual signature AND its own score scale, so per-method summary CSVs
+# rank distinctly: (degrade_fn(gt, field, rng) -> render, score_fn(field)).
+DEGRADATIONS = {
+    # additive noise, amplitude field (the r4 learnable default)
+    "gauss": (
+        lambda gt, f, rng: np.clip(
+            gt + (0.4 * f)[..., None] * rng.normal(0, 1, gt.shape), 0, 1
+        ).astype(np.float32),
+        lambda f: (1.0 - 1.6 * f).astype(np.float32),
+    ),
+    # spatially-varying blur: blend toward a blurred copy by the field
+    "blur": (
+        lambda gt, f, rng: (
+            (1.0 - f[..., None]) * gt + f[..., None] * _box_blur(gt)
+        ).astype(np.float32),
+        lambda f: (1.0 - 0.9 * f).astype(np.float32),
+    ),
+    # posterisation: fewer quantisation levels where the field is high
+    "quant": (
+        lambda gt, f, rng: (
+            np.round(gt * (2 + 14 * (1 - f))[..., None])
+            / (2 + 14 * (1 - f))[..., None]
+        ).astype(np.float32),
+        lambda f: (1.0 - 0.5 * f).astype(np.float32),
+    ),
+}
+
+
 def generate(
     root: str | Path,
     resolution: str = "res_540",
@@ -50,6 +92,7 @@ def generate(
     hw: tuple = (84, 112),
     seed: int = 0,
     learnable: bool = False,
+    degradation: str = "gauss",
 ) -> Path:
     scenes_per_split = scenes_per_split or {"train": 2, "val": 1, "test": 1}
     root = Path(root)
@@ -91,16 +134,15 @@ def generate(
                             off = (17 * i + (251 if gs_split == "test" else 0),
                                    31 * i + (83 if gs_split == "test" else 0))
                             gt = np.roll(base_img, off, axis=(0, 1))
-                            # smooth degradation field: local noise amplitude
-                            sigma = 0.4 * _smooth_field(rng, hw, (7, 9))
-                            render = np.clip(
-                                gt + sigma[..., None] * rng.normal(0, 1, gt.shape),
-                                0, 1,
-                            ).astype(np.float32)
-                            # supervision is a deterministic monotone map of
-                            # sigma — recoverable from (query, references),
-                            # so held-out loss measures learning
-                            ssim = (1.0 - 4.0 * sigma).astype(np.float32)
+                            # smooth degradation field; the render and the
+                            # ssim target both derive from it via the chosen
+                            # DEGRADATIONS process — supervision stays a
+                            # deterministic monotone map of the field,
+                            # recoverable from (query, references)
+                            degrade_fn, score_fn = DEGRADATIONS[degradation]
+                            field = _smooth_field(rng, hw, (7, 9))
+                            render = degrade_fn(gt, field, rng)
+                            ssim = score_fn(field)
                         else:
                             gt = rng.random((*hw, 3)).astype(np.float32)
                             render = np.clip(
@@ -120,6 +162,33 @@ def generate(
     return root
 
 
+def generate_method_tree(
+    root: str | Path,
+    methods: tuple = ("gaussian", "tensorf", "nerfacto"),
+    dataset_name: str = "synthmfr",
+    seed: int = 0,
+    **kw,
+) -> list[Path]:
+    """Multi-"method" corpus in the reference's processed-tree layout
+    ``<root>/<method>/<dataset>/res_*`` — the layout the summariser's
+    (dataset, method) grouping parses from item paths (reference
+    ``utils/io/score_summariser.py:170-195`` path parts -6/-5; reference
+    trains/evals over gaussian x tensorf x nerfacto roots via
+    ``dataloading/data_manager.py:8-41``). Each method gets a DISTINCT
+    degradation process (``DEGRADATIONS``) with its own score scale, so the
+    per-(dataset, method) summary CSVs rank distinctly. Returns the
+    per-method dataset roots, ready for ``data.dataset.path=[...]``."""
+    degr = list(DEGRADATIONS)
+    roots = []
+    for i, m in enumerate(methods):
+        r = Path(root) / m / dataset_name
+        generate(
+            r, seed=seed, degradation=degr[i % len(degr)], learnable=True, **kw
+        )
+        roots.append(r)
+    return roots
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -135,10 +204,30 @@ def main(argv=None) -> None:
                          "inputs (training-quality A/Bs)")
     ap.add_argument("--scenes", type=int, nargs=3, metavar=("TRAIN", "VAL", "TEST"),
                     default=None, help="scenes per split")
+    ap.add_argument("--degradation", choices=sorted(DEGRADATIONS), default="gauss",
+                    help="degradation process for --learnable renders")
+    ap.add_argument("--method-tree", action="store_true",
+                    help="emit a 3-'method' processed tree "
+                         "(<root>/{gaussian,tensorf,nerfacto}/synthmfr/res_*) "
+                         "with one distinct degradation per method")
     args = ap.parse_args(argv)
     scenes = None
     if args.scenes is not None:
         scenes = {"train": args.scenes[0], "val": args.scenes[1], "test": args.scenes[2]}
+    if args.method_tree:
+        roots = generate_method_tree(
+            args.root,
+            resolution=args.resolution,
+            scenes_per_split=scenes,
+            hw=tuple(args.hw),
+            n_train_imgs=args.train_imgs,
+            n_test_imgs=args.test_imgs,
+            seed=args.seed,
+        )
+        print("Multi-method corpus written:")
+        for r in roots:
+            print(f"  {r}")
+        return
     path = generate(
         args.root,
         resolution=args.resolution,
@@ -148,6 +237,7 @@ def main(argv=None) -> None:
         n_test_imgs=args.test_imgs,
         seed=args.seed,
         learnable=args.learnable,
+        degradation=args.degradation,
     )
     print(f"Synthetic dataset written to {path}")
 

@@ -146,10 +146,19 @@ class TokenSpaceLoader(Loader):
         need = 2 * (self.prefetch_batches + 1) * self.batch_size * (k + 1)
         # a cache that holds the ENTIRE distinct-image corpus can never
         # evict, so the in-flight working set is irrelevant — don't refuse
-        # small-corpus configs (the index walk is host metadata only)
+        # small-corpus configs (the index walk is host metadata only).
+        # Cache keys are (path, shape, valid_hw), not bare paths: under
+        # integer_patches the (shape, valid) per path is deterministic PER
+        # LEAF geometry, so a path shared across leaves with different
+        # resize settings can hold up to n_geoms keys — scale the corpus
+        # bound accordingly or the relaxation re-enables the eviction race.
         from crossscore_tpu.tasks.encode_tokens import unique_image_paths
 
-        need = min(need, len(unique_image_paths(dataset)))
+        n_geoms = len({
+            getattr(leaf, "resize_short_side", None) or -1
+            for leaf in leaf_datasets(dataset)
+        }) or 1
+        need = min(need, len(unique_image_paths(dataset)) * n_geoms)
         if cache._max >= need:
             return
         msg = (

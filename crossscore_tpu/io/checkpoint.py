@@ -39,6 +39,26 @@ def load_params(path: str | Path, like: Optional[Any] = None) -> Any:
         return ckptr.restore(path)
 
 
+def load_params_host(path: str | Path) -> Any:
+    """Restore a checkpoint tree to HOST numpy arrays, ignoring the device
+    shardings it was saved under. A checkpoint written on TPU must be
+    readable on a CPU-only host (and vice versa) for pure host-side
+    consumers — the orbax default instead pins restore to the saving
+    platform's device names and fails with "Device ... was not found".
+    Used by the reverse torch converter (``io/torch_convert.py --reverse``).
+    """
+    import jax
+    import numpy as np
+
+    path = _to_abs(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        return ckptr.restore(path, restore_args=restore_args)
+
+
 def load_hparams(ckpt_dir: str | Path) -> Optional[dict]:
     """Read the ``hparams.yaml`` stored next to a checkpoint directory's
     steps, or None for checkpoints written before hparams persistence."""

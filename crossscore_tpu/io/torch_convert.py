@@ -153,6 +153,145 @@ def convert_lightning_ckpt(
     return params
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: flax param tree -> reference Lightning state_dict.
+#
+# Blob-day interop runs both ways: a TPU-trained decoder/head must be loadable
+# by the reference stack (reference ``task/core.py`` state-dict naming:
+# ``model.backbone.<HF names>``, ``model.pos_enc_fn.PE``,
+# ``model.ref_cross.attn.layers.{i}.*`` with torch's packed ``in_proj_weight``,
+# ``model.ref_cross.head.{0,2}.*``) for independent validation. Every mapping
+# below is the exact inverse of the forward converter above — pinned by a
+# byte-equality round-trip test (tests/test_model_parity.py).
+# ---------------------------------------------------------------------------
+
+
+def _rev_dense(tree: Mapping[str, np.ndarray], out: dict, prefix: str) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(tree["kernel"].T)
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _rev_ln(tree: Mapping[str, np.ndarray], out: dict, prefix: str) -> None:
+    out[f"{prefix}.weight"] = np.asarray(tree["scale"])
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def revert_hf_dinov2(params: Mapping) -> dict[str, np.ndarray]:
+    """Dinov2Encoder param tree -> HF ``Dinov2Model`` state_dict (numpy).
+
+    Inverse of :func:`convert_hf_dinov2`. The HF ``embeddings.mask_token``
+    has no flax counterpart (it only participates in masked-image modelling,
+    never in inference); it is emitted as zeros so ``load_state_dict`` under
+    ``strict=True`` succeeds."""
+    kern = np.asarray(params["patch_proj"]["kernel"])  # (P*P*3, D)
+    d = kern.shape[1]
+    p = int(round((kern.shape[0] // 3) ** 0.5))
+    sd: dict[str, np.ndarray] = {
+        "embeddings.patch_embeddings.projection.weight": np.ascontiguousarray(
+            kern.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+        ),
+        "embeddings.patch_embeddings.projection.bias": np.asarray(params["patch_proj"]["bias"]),
+        "embeddings.cls_token": np.asarray(params["cls_token"]),
+        "embeddings.mask_token": np.zeros((1, d), np.float32),
+        "embeddings.position_embeddings": np.asarray(params["pos_embed"]),
+    }
+    _rev_ln(params["final_ln"], sd, "layernorm")
+    n_layers = sum(1 for k in params if str(k).startswith("block_"))
+    for i in range(n_layers):
+        blk = params[f"block_{i}"]
+        pre = f"encoder.layer.{i}"
+        qkv = np.asarray(blk["attn"]["qkv"]["kernel"])  # (D, 3D)
+        qkv_b = np.asarray(blk["attn"]["qkv"]["bias"])  # (3D,)
+        for j, name in enumerate(("query", "key", "value")):
+            sd[f"{pre}.attention.attention.{name}.weight"] = np.ascontiguousarray(
+                qkv[:, j * d : (j + 1) * d].T
+            )
+            sd[f"{pre}.attention.attention.{name}.bias"] = qkv_b[j * d : (j + 1) * d]
+        _rev_dense(blk["attn"]["out"], sd, f"{pre}.attention.output.dense")
+        _rev_ln(blk["ln1"], sd, f"{pre}.norm1")
+        _rev_ln(blk["ln2"], sd, f"{pre}.norm2")
+        _rev_dense(blk["fc1"], sd, f"{pre}.mlp.fc1")
+        _rev_dense(blk["fc2"], sd, f"{pre}.mlp.fc2")
+        sd[f"{pre}.layer_scale1.lambda1"] = np.asarray(blk["ls1"])
+        sd[f"{pre}.layer_scale2.lambda1"] = np.asarray(blk["ls2"])
+    return sd
+
+
+def _rev_torch_mha(tree: Mapping, out: dict, prefix: str) -> None:
+    """TorchStyleMHA tree -> packed ``in_proj_weight`` layout (inverse of
+    :func:`_convert_torch_mha`: q/k/v kernels are (D, D) column blocks of the
+    transposed packed weight, so the packed rows are their transposes)."""
+    out[f"{prefix}.in_proj_weight"] = np.ascontiguousarray(
+        np.concatenate(
+            [np.asarray(tree[k]["kernel"]).T for k in ("q_proj", "k_proj", "v_proj")],
+            axis=0,
+        )
+    )
+    out[f"{prefix}.in_proj_bias"] = np.concatenate(
+        [np.asarray(tree[k]["bias"]) for k in ("q_proj", "k_proj", "v_proj")]
+    )
+    _rev_dense(tree["out_proj"], out, f"{prefix}.out_proj")
+
+
+def revert_decoder(params: Mapping, prefix: str) -> dict[str, np.ndarray]:
+    """CrossReferenceDecoder tree -> torch TransformerDecoder(Customised)."""
+    sd: dict[str, np.ndarray] = {}
+    root = f"{prefix}." if prefix else ""
+    n_layers = sum(1 for k in params if str(k).startswith("layer_"))
+    for i in range(n_layers):
+        layer = params[f"layer_{i}"]
+        pre = f"{root}layers.{i}"
+        if "self_attn" in layer:
+            _rev_torch_mha(layer["self_attn"], sd, f"{pre}.self_attn")
+            _rev_ln(layer["norm1"], sd, f"{pre}.norm1")
+        _rev_torch_mha(layer["cross_attn"], sd, f"{pre}.multihead_attn")
+        _rev_ln(layer["norm2"], sd, f"{pre}.norm2")
+        _rev_dense(layer["linear1"], sd, f"{pre}.linear1")
+        _rev_dense(layer["linear2"], sd, f"{pre}.linear2")
+        _rev_ln(layer["norm3"], sd, f"{pre}.norm3")
+    return sd
+
+
+def revert_lightning_ckpt(params: Mapping) -> dict[str, np.ndarray]:
+    """CrossScoreNet param tree -> reference Lightning ``state_dict`` (numpy).
+
+    Inverse of :func:`convert_lightning_ckpt`, plus the reference's
+    ``model.img_mean_std`` buffer (reference ``task/core.py:33-36`` registers
+    the ImageNet [mean..., std...] constants) so ``strict=True`` loads pass.
+    """
+    from crossscore_tpu.io.images import IMAGENET_MEAN, IMAGENET_STD
+
+    sd: dict[str, np.ndarray] = {
+        "model.img_mean_std": np.asarray([*IMAGENET_MEAN, *IMAGENET_STD], np.float32),
+        "model.pos_enc_fn.PE": np.asarray(params["pos_enc"]["pe"])[None],
+    }
+    for k, v in revert_hf_dinov2(params["backbone"]).items():
+        sd[f"model.backbone.{k}"] = v
+    sd.update(revert_decoder(params["decoder"], "model.ref_cross.attn"))
+    _rev_dense(params["head_fc1"], sd, "model.ref_cross.head.0")
+    _rev_dense(params["head_fc2"], sd, "model.ref_cross.head.2")
+    return sd
+
+
+def save_lightning_ckpt(path: str, params: Mapping) -> None:
+    """Write a reference-stack-loadable Lightning ``.ckpt`` from flax params."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v, dtype=np.float32))
+          for k, v in revert_lightning_ckpt(params).items()}
+    torch.save(
+        {
+            "state_dict": sd,
+            # minimal Lightning envelope: enough for Trainer ckpt_path loads
+            "pytorch-lightning_version": "2.1.3",
+            "epoch": 0,
+            "global_step": 0,
+            "loops": {},
+        },
+        path,
+    )
+
+
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
     """torch.load a Lightning ckpt and return its numpy state_dict."""
     import torch
@@ -179,8 +318,25 @@ def main(argv=None) -> None:
         action="store_true",
         help="convert only a HF Dinov2Model backbone (for model.backbone.init_path)",
     )
+    ap.add_argument(
+        "--reverse",
+        action="store_true",
+        help="reverse direction: ckpt = an orbax params dir, out_dir = the "
+             "Lightning .ckpt FILE to write (loadable by the reference stack)",
+    )
     args = ap.parse_args(argv)
 
+    if args.reverse:
+        # host-side restore: a TPU-written checkpoint must convert on any
+        # host (load_params would pin to the saving platform's devices)
+        from crossscore_tpu.io.checkpoint import load_params_host
+
+        tree = load_params_host(args.ckpt)
+        if isinstance(tree, dict) and "params" in tree:
+            tree = tree["params"]  # a full TrainState checkpoint: use params
+        save_lightning_ckpt(args.out_dir, tree)
+        print(f"Reverted {args.ckpt} -> {args.out_dir}")
+        return
     if args.hf_backbone:
         from transformers import Dinov2Model
 

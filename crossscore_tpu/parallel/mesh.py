@@ -49,6 +49,47 @@ def set_current_mesh(mesh: Mesh) -> None:
     _CURRENT_MESH = mesh
 
 
+def _device_process_groups(devices, n_proc: int) -> list:
+    """Split the global device list into ``n_proc`` equal per-process groups.
+
+    Real multi-host: group by ``d.process_index`` (jax orders ``devices()``
+    by process, but don't rely on it). Emulated multi-host (tests patch
+    ``jax.process_count`` while every device is local) can't satisfy that
+    grouping, so fall back to contiguous equal chunks — the same shape a real
+    topology with ``len(devices)/n_proc`` chips per host would have."""
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "process_index", 0), []).append(d)
+    sizes = {len(g) for g in groups.values()}
+    if len(groups) == n_proc and len(sizes) == 1:
+        return [groups[k] for k in sorted(groups)]
+    per = len(devices) // n_proc
+    if per == 0:
+        raise ValueError(
+            f"{len(devices)} devices cannot cover {n_proc} processes"
+        )
+    return [list(devices[i * per : (i + 1) * per]) for i in range(n_proc)]
+
+
+def _per_process_data_par(group_size: int, model_parallel: int, batch_size: int) -> int:
+    """Per-process width of the data axis: the largest d <= group_size //
+    model_parallel with ``batch_size % d == 0``. Each process contributes its
+    OWN ``batch_size`` decoded rows to the global batch
+    (``data/loader.py::_ship`` via ``make_array_from_process_local_data``),
+    so those rows must divide evenly over the process's mesh devices —
+    the reference DDP invariant of equal per-device shards
+    (reference ``task/train.py:109-114``)."""
+    d = group_size // model_parallel
+    if d < 1:
+        raise ValueError(
+            f"model_parallel={model_parallel} exceeds the {group_size} "
+            "devices available per process"
+        )
+    while d > 1 and batch_size % d:
+        d -= 1
+    return d
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
@@ -58,6 +99,11 @@ def make_mesh(
 
     If ``batch_size`` is given, the data axis is clamped to the largest device
     count that divides it (per-device batches must be equal under SPMD).
+    Multi-host, the clamp is applied PER PROCESS — an equal number of devices
+    is kept from every host (dropping a whole host would strand its loader
+    shard; ``data/loader.py::_ship`` assembles each process's ``batch_size``
+    rows onto that process's own mesh devices), and per-process batches are
+    contiguous blocks along the data axis in process order.
     """
     devices = jax.devices()
     n = len(devices) if n_devices in (None, -1) else min(n_devices, len(devices))
@@ -69,21 +115,20 @@ def make_mesh(
             f"model_parallel={model_parallel} exceeds the {n} available devices"
         )
     if batch_size is not None:
-        data_par = n // model_parallel
-        if jax.process_count() > 1:
-            # multi-host: clamping would drop whole hosts' devices from the
-            # mesh, which the per-process global-batch assembly
-            # (data/loader.py _ship) cannot express — the GLOBAL batch
-            # (per-process batch x process count) must divide instead
-            global_batch = batch_size * jax.process_count()
-            if global_batch % data_par:
-                raise ValueError(
-                    f"global batch {global_batch} (= {batch_size} per process"
-                    f" x {jax.process_count()} processes) is not divisible "
-                    f"over the {data_par}-way data axis; adjust "
-                    f"data.loader.train.batch_size or trainer.devices"
-                )
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            groups = _device_process_groups(devices, n_proc)
+            per_host = min(len(g) for g in groups)
+            if n_devices not in (None, -1):
+                # an explicit device cap is interpreted globally; keep the
+                # per-host counts equal under it
+                per_host = min(per_host, max(1, n // n_proc))
+            d = _per_process_data_par(per_host, model_parallel, batch_size)
+            sel = [dev for g in groups for dev in g[: d * model_parallel]]
+            n = len(sel)
+            devices = sel
         else:
+            data_par = n // model_parallel
             while data_par > 1 and batch_size % data_par:
                 data_par -= 1
             n = data_par * model_parallel

@@ -275,10 +275,14 @@ def host_rows(x):
 
     if isinstance(x, np.ndarray):
         return x
-    try:
+    # only a genuinely non-fetchable sharding takes the shard-concat path —
+    # a bare try/except here would mask unrelated np.asarray failures (host
+    # OOM, tunnel RPC errors) as "non-addressable" and corrupt downstream
+    if getattr(x, "is_fully_addressable", True) or getattr(
+        x, "is_fully_replicated", False
+    ):
         return np.asarray(x)
-    except Exception:
-        return _concat_addressable_rows(x)
+    return _concat_addressable_rows(x)
 
 
 def _concat_addressable_rows(x):
@@ -288,6 +292,14 @@ def _concat_addressable_rows(x):
 
     rows = {}
     for s in x.addressable_shards:
+        # the start-index dedupe below assumes axis-0-only sharding; a shard
+        # split along a non-leading axis would silently contribute a subset
+        # of columns — fail loudly instead
+        if any(sl != slice(None) for sl in s.index[1:]):
+            raise ValueError(
+                "host_rows: array is sharded along a non-leading axis; only "
+                f"axis-0 (batch) sharding is supported, got index {s.index}"
+            )
         start = s.index[0].start or 0
         if start not in rows:
             rows[start] = s

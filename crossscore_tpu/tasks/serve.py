@@ -583,6 +583,24 @@ def _json_result(res: dict) -> dict:
     return {k: v for k, v in res.items() if k != "score_map"}
 
 
+class _Inflight:
+    """Context-manager request counter for the SIGTERM drain."""
+
+    def __init__(self):
+        self.value = 0
+        self._lock = threading.Lock()
+
+    def __enter__(self):
+        with self._lock:
+            self.value += 1
+        return self
+
+    def __exit__(self, *exc):
+        with self._lock:
+            self.value -= 1
+        return False
+
+
 def make_server(cfg):
     """Build (ThreadingHTTPServer, Scorer); the caller runs serve_forever."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -590,6 +608,12 @@ def make_server(cfg):
 
     scorer = Scorer(cfg)
     max_body = int(float(cfg.this_main.get("serve_max_body_mb", 64)) * 1024 * 1024)
+    # SIGTERM drain state (install_sigterm_drain): once `draining` is set new
+    # work is refused with a typed 503 while requests already inside the
+    # `inflight` counter run to completion — the orchestrated-termination
+    # path (k8s sends SIGTERM, then SIGKILL after the grace period).
+    draining = threading.Event()
+    inflight = _Inflight()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # stdout, one line, no reverse DNS
@@ -607,7 +631,12 @@ def make_server(cfg):
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
-                self._send_json(200, scorer.health())
+                h = scorer.health()
+                if draining.is_set():
+                    # orchestrator readiness probes must see the drain so the
+                    # replica is pulled from rotation while it finishes
+                    h["status"] = "draining"
+                self._send_json(200, h)
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 
@@ -632,6 +661,20 @@ def make_server(cfg):
                 self._send_json(200, _json_result(res))
 
         def do_POST(self):
+            # enter the counter FIRST, then check: a request counted before
+            # the drain began is guaranteed to complete (drain_server waits
+            # on the counter); one entering after gets the typed 503
+            with inflight:
+                if draining.is_set():
+                    self.close_connection = True
+                    self._send_json(503, {
+                        "error": "ServerDraining: SIGTERM received; this "
+                                 "replica is shutting down"
+                    })
+                    return
+                self._do_post_inner()
+
+        def _do_post_inner(self):
             url = urlparse(self.path)
             q = parse_qs(url.query)
             map_mode = q.get("map", ["none"])[0]
@@ -688,7 +731,44 @@ def make_server(cfg):
     host = str(cfg.this_main.get("serve_host", "127.0.0.1"))
     port = int(cfg.this_main.get("serve_port", 8642))
     server = ThreadingHTTPServer((host, port), Handler)
+    server.draining = draining
+    server.inflight = inflight
     return server, scorer
+
+
+def install_sigterm_drain(server) -> None:
+    """SIGTERM → graceful drain; SIGINT keeps KeyboardInterrupt behaviour.
+
+    The handler only flips the drain flag and stops the accept loop from a
+    side thread (``shutdown()`` blocks until ``serve_forever`` acknowledges,
+    so calling it inline in a main-thread signal handler would deadlock while
+    ``serve_forever`` runs on that same thread). The caller then runs
+    :func:`drain_server` after ``serve_forever`` returns. Must be called from
+    the main thread (``signal`` module restriction)."""
+    import signal
+
+    def _shutdown_and_close():
+        server.shutdown()
+        # also CLOSE the listener: connections already queued in the kernel
+        # accept backlog would otherwise never be accepted nor reset — the
+        # client hangs until its timeout. Closing resets them so un-accepted
+        # clients fail fast and retry another replica; accepted connections
+        # (own sockets, own handler threads) drain undisturbed.
+        server.server_close()
+
+    def _on_sigterm(signum, frame):
+        server.draining.set()
+        threading.Thread(target=_shutdown_and_close, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
+
+def drain_server(server, deadline_s: float = 30.0) -> bool:
+    """Wait for in-flight requests to complete; True iff drained clean."""
+    t0 = time.monotonic()
+    while server.inflight.value > 0 and time.monotonic() - t0 < deadline_s:
+        time.sleep(0.02)
+    return server.inflight.value == 0
 
 
 def serve(cfg) -> None:
@@ -703,6 +783,7 @@ def serve(cfg) -> None:
         )
         return
     server, scorer = make_server(cfg)
+    install_sigterm_drain(server)
     host, port = server.server_address[:2]
     print(
         f"serve: ready on http://{host}:{port} — {scorer.n_refs} references "
@@ -714,6 +795,18 @@ def serve(cfg) -> None:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    if server.draining.is_set():
+        deadline = float(cfg.this_main.get("serve_drain_deadline_s", 30))
+        clean = drain_server(server, deadline)
+        h = scorer.health()
+        state = ("complete" if clean else
+                 f"deadline {deadline}s hit, {server.inflight.value} still in flight")
+        print(
+            f"serve: SIGTERM drain {state} — {h['requests']} requests, "
+            f"{h['dispatches']} dispatches, {h['rejected_503']} rejected 503",
+            flush=True,
+        )
+    server.server_close()
 
 
 def main(argv=None):

@@ -28,6 +28,66 @@ import numpy as np
 from crossscore_tpu.tasks.common import parse_cli, timestamp, JsonlLogger
 
 
+def apply_train_recipe(cfg) -> str:
+    """One-flag production recipes (``this_main.train_recipe``).
+
+    ``token_fast`` composes the validated fast-path pieces that previously
+    had to be hand-assembled (6.41x train step, PERFORMANCE.md): token-space
+    training (decoder-only train graph, ``this_main.token_space_train``),
+    uint8 pixels on the wire (``data.dataset.wire_uint8`` — quarters the
+    host->device traffic), and a token cache sized to the in-flight working
+    set. It falls back to the default pixel recipe WITH A WARNING when the
+    crop covers >= 60% of the resized short side — the regime where the
+    token path's full-image attention context measurably diverges from the
+    reference's crop-context training (reference ``task/core.py:119-161``
+    encodes the crop; the cpu-tiny A/B arm regressed there,
+    docs/results/ab_token_vs_pixel_*). With ``resize_short_side <= 0`` the
+    image geometry is unknown statically and the check is skipped.
+
+    Returns the recipe actually applied (``token_fast`` or ``default``).
+    ``default``/``pixel`` are no-ops; unknown names raise.
+    """
+    recipe = str(cfg.this_main.get("train_recipe", "default") or "default")
+    if recipe in ("default", "pixel"):
+        return "default"
+    if recipe != "token_fast":
+        raise ValueError(
+            f"unknown this_main.train_recipe {recipe!r}; "
+            "expected default | pixel | token_fast"
+        )
+    crop = int(cfg.data.transforms.crop_size)
+    short = int(cfg.this_main.get("resize_short_side") or -1)
+    if short > 0 and crop >= 0.6 * short:
+        import warnings
+
+        warnings.warn(
+            f"train_recipe=token_fast: crop_size {crop} covers >=60% of the "
+            f"resized short side {short} — the regime where token-space "
+            "training's full-image context diverges from the reference's "
+            "crop-context training; falling back to the pixel recipe "
+            "(set this_main.token_space_train=true to force the token path)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return "default"
+    from crossscore_tpu.confsys import set_key
+
+    set_key(cfg, "this_main.token_space_train", True)
+    set_key(cfg, "data.dataset.wire_uint8", True)
+    k = int(cfg.data.neighbour_config.cross)
+    bs = int(cfg.data.loader.train.batch_size)
+    pf = int(cfg.data.loader.train.prefetch_factor)
+    need = 2 * (pf + 1) * bs * (k + 1)  # TokenSpaceLoader working-set bound
+    if int(cfg.this_main.get("ref_token_cache_max_items", 0)) < need:
+        set_key(cfg, "this_main.ref_token_cache_max_items", need)
+    print(
+        f"train_recipe=token_fast: token-space training + uint8 wire, "
+        f"token cache sized >= {need} items",
+        flush=True,
+    )
+    return "token_fast"
+
+
 def train(cfg) -> Path:
     import jax
     import jax.numpy as jnp
@@ -50,6 +110,7 @@ def train(cfg) -> Path:
     from crossscore_tpu.utils.vis import make_visualiser
 
     ConfigChecker(cfg).check_train_val()
+    apply_train_recipe(cfg)
 
     if cfg.trainer.get("multi_host", False):
         jax.distributed.initialize()
@@ -395,8 +456,16 @@ def train(cfg) -> Path:
         ):
             if batch_idx >= limit_train:
                 break
-            batch.pop("_valid", None)
             batch.pop("item_paths", None)
+            # unified final-batch loss semantics across process counts: the
+            # padded-duplicate mask stays in the batch (single-process
+            # ``_valid`` prefix count; multi-host per-row ``_valid_mask``)
+            # so ``_weights`` zeroes duplicate rows out of the training loss
+            # either way — the reference never trains on duplicates (its
+            # final torch batch is simply smaller, ``task/train.py:86-103``)
+            from crossscore_tpu.tasks.common import device_view
+
+            batch = device_view(batch)
             if profile_window and global_step == profile_window[0]:
                 jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, batch)

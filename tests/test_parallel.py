@@ -61,6 +61,54 @@ class TestMesh:
         mesh = make_mesh(64)  # only 8 exist
         assert mesh.devices.shape == (8,)
 
+    @pytest.mark.parametrize(
+        "n_proc,batch,mp,expect_shape",
+        [
+            (2, 2, 1, (4,)),    # clamp keeps 2 devices on EACH host
+            (2, 3, 1, (6,)),    # 3 per host
+            (2, 4, 1, (8,)),    # exact fit
+            (2, 8, 1, (8,)),    # per-process batch > per-host devices
+            (4, 2, 1, (8,)),
+            (4, 1, 1, (4,)),    # down to 1 device per host
+            (2, 2, 2, (4, 2)),  # TP x per-host data par 2
+            (2, 1, 2, (2, 2)),  # TP x per-host data par clamped to 1
+        ],
+    )
+    def test_multihost_matrix(self, monkeypatch, n_proc, batch, mp, expect_shape):
+        """Multi-host make_mesh semantics (r4 regression, VERDICT #1): equal
+        per-process device counts, per-process rows divide over that
+        process's mesh devices, never a raise for a feasible topology."""
+        monkeypatch.setattr(jax, "process_count", lambda: n_proc)
+        mesh = make_mesh(model_parallel=mp, batch_size=batch)
+        assert mesh.devices.shape == expect_shape
+        data_par = expect_shape[0]
+        assert data_par % n_proc == 0            # equal per-host share
+        assert (batch * n_proc) % data_par == 0  # global batch divides
+        assert batch % (data_par // n_proc) == 0  # per-process rows divide
+
+    def test_multihost_selects_equal_devices_per_process_block(self, monkeypatch):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        mesh = make_mesh(batch_size=2)  # 2 emulated hosts x 4 devices -> keep 2 each
+        ids = [d.id for d in mesh.devices.reshape(-1)]
+        assert ids == [0, 1, 4, 5]
+
+    def test_device_groups_by_process_index_interleaved(self):
+        from crossscore_tpu.parallel.mesh import _device_process_groups
+
+        class FakeDev:
+            def __init__(self, i, pi):
+                self.id, self.process_index = i, pi
+
+        devs = [FakeDev(i, i % 2) for i in range(8)]  # interleaved order
+        g = _device_process_groups(devs, 2)
+        assert [d.id for d in g[0]] == [0, 2, 4, 6]
+        assert [d.id for d in g[1]] == [1, 3, 5, 7]
+        # emulated topology (every device local): contiguous equal chunks
+        devs = [FakeDev(i, 0) for i in range(8)]
+        g = _device_process_groups(devs, 2)
+        assert [d.id for d in g[0]] == [0, 1, 2, 3]
+        assert [d.id for d in g[1]] == [4, 5, 6, 7]
+
     def test_tp_specs(self, model_and_params):
         _, params = model_and_params
         mesh = make_mesh(8, model_parallel=2)

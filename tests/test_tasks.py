@@ -636,3 +636,74 @@ class TestLRScheduleE2E:
         assert lr_by_step[4] == pytest.approx(base)          # still epoch 2
         assert lr_by_step[5] == pytest.approx(base * 0.5)    # decayed after 2 epochs
         assert lr_by_step[8] == pytest.approx(base * 0.5)
+
+
+class TestMultiMethodEval:
+    """BASELINE config #4's EVAL semantics over a multi-method ConcatDataset
+    (VERDICT r4 #6): three method roots with DISTINCT degradation processes
+    (data/synthetic.py DEGRADATIONS) -> per-(dataset, method) score_summary
+    CSVs (reference ``utils/io/score_summariser.py:241-250`` layout) and GT
+    summaries that rank the methods by their score scales."""
+
+    @pytest.fixture(scope="class")
+    def mm_ws(self, tmp_path_factory):
+        from crossscore_tpu.data.synthetic import generate_method_tree
+
+        root = tmp_path_factory.mktemp("mm_ws")
+        roots = generate_method_tree(
+            root / "corpus",
+            hw=(84, 112),
+            scenes_per_split={"train": 1, "val": 1, "test": 1},
+            n_train_imgs=3,
+            n_test_imgs=2,
+        )
+        old = os.getcwd()
+        os.chdir(root)
+        yield root, roots
+        os.chdir(old)
+
+    def test_concat_eval_writes_per_method_summaries(self, mm_ws):
+        import pandas as pd
+
+        from crossscore_tpu.tasks.test import main
+
+        root, roots = mm_ws
+        paths = ",".join(str(r) for r in roots)
+        out = main(
+            SMALL_OVERRIDES
+            + [
+                f"data.dataset.path=[{paths}]",
+                "data.loader.validation.batch_size=2",
+                "data.loader.validation.num_workers=1",
+                "this_main.resize_short_side=-1",
+                "alias=mm",
+            ]
+        )
+        csvs = sorted((out / "score_summary" / "synthmfr").glob("*.csv"))
+        assert [c.stem for c in csvs] == ["gaussian", "nerfacto", "tensorf"]
+        for c in csvs:
+            df = pd.read_csv(c)
+            # 1 test-split scene x (3 gs_train + 2 gs_test renders), each
+            # summarised exactly once
+            assert len(df) == 5, c
+            assert "pred_ssim_0_1" in df.columns
+            assert df["image_name"].is_unique is False or len(set(df["image_name"])) <= 5
+
+    def test_gt_summary_ranks_methods_by_degradation_scale(self, mm_ws):
+        import pandas as pd
+
+        from crossscore_tpu.tasks.summarise_score_gt import main as gt_main
+
+        root, roots = mm_ws
+        out = root / "gt_summary"
+        for r in roots:
+            gt_main(["--dir_in", str(r / "res_540"), "--dir_out", str(out), "-n", "2"])
+        means = {
+            m: pd.read_csv(out / "synthmfr" / f"{m}.csv")["gt_ssim_0_1"].mean()
+            for m in ("gaussian", "tensorf", "nerfacto")
+        }
+        # distinct processes, distinct scales: gauss (1-1.6f) < blur (1-0.9f)
+        # < quant (1-0.5f) over the same field distribution
+        assert means["gaussian"] < means["tensorf"] < means["nerfacto"]
+        assert means["tensorf"] - means["gaussian"] > 0.05
+        assert means["nerfacto"] - means["tensorf"] > 0.05

@@ -613,3 +613,74 @@ def test_window_primitives_fuzz():
         np.testing.assert_array_equal(got, want)
         # window always in bounds
         assert 0 <= i <= gh - ch and 0 <= j <= gw - cw
+
+
+class TestTrainRecipe:
+    """this_main.train_recipe=token_fast — the one-flag production recipe
+    (tasks/train.py apply_train_recipe)."""
+
+    def _cfg(self, extra):
+        from crossscore_tpu.tasks.common import parse_cli
+
+        return parse_cli("default", TestTokenTrainCLI.OVERRIDES[:9] + extra)
+
+    def test_composes_fast_path_keys(self):
+        from crossscore_tpu.tasks.train import apply_train_recipe
+
+        cfg = self._cfg([
+            "this_main.train_recipe=token_fast",
+            "data.transforms.crop_size=28",
+            "this_main.resize_short_side=84",
+        ])
+        assert apply_train_recipe(cfg) == "token_fast"
+        assert cfg.this_main.token_space_train is True
+        assert cfg.data.dataset.wire_uint8 is True
+        # cache sized to the working set: 2 * (prefetch+1) * B * (K+1)
+        pf = int(cfg.data.loader.train.prefetch_factor)
+        need = 2 * (pf + 1) * 2 * 3
+        assert int(cfg.this_main.ref_token_cache_max_items) >= need
+
+    def test_falls_back_when_crop_dominates_image(self):
+        """crop >= 60% of the resized short side is the measured regime where
+        the token path's full-image context diverges (cpu-tiny A/B arm) —
+        the recipe must warn and fall back, not silently train there."""
+        from crossscore_tpu.tasks.train import apply_train_recipe
+
+        cfg = self._cfg([
+            "this_main.train_recipe=token_fast",
+            "data.transforms.crop_size=56",
+            "this_main.resize_short_side=84",
+        ])
+        with pytest.warns(RuntimeWarning, match="60%"):
+            assert apply_train_recipe(cfg) == "default"
+        assert not cfg.this_main.token_space_train
+
+    def test_unknown_recipe_raises(self):
+        from crossscore_tpu.tasks.train import apply_train_recipe
+
+        cfg = self._cfg(["this_main.train_recipe=warp9"])
+        with pytest.raises(ValueError, match="train_recipe"):
+            apply_train_recipe(cfg)
+
+    def test_e2e_train_run(self, token_ws, tmp_path, monkeypatch):
+        """The one-flag recipe drives tasks.train end-to-end on CPU: token
+        loader + uint8 wire + sized cache, finite losses, pixel-path val."""
+        import json
+
+        from crossscore_tpu.tasks.train import main
+
+        monkeypatch.chdir(tmp_path)
+        overrides = [
+            o for o in TestTokenTrainCLI.OVERRIDES
+            if not o.startswith("this_main.token_space_train")
+        ] + [
+            f"data.dataset.path=[{token_ws}]",
+            "this_main.train_recipe=token_fast",
+            "trainer.max_epochs=1",
+            "alias=recipe",
+        ]
+        run_dir = main(overrides)
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        train_losses = [r["train/loss"] for r in rows if "train/loss" in r]
+        assert train_losses and all(np.isfinite(train_losses))
+        assert any("validation/loss" in r for r in rows)

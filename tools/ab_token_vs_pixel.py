@@ -154,7 +154,18 @@ def run_arm(name: str, out_dir: Path, overrides: list[str], accel: str) -> dict:
     steps, run_dir = int(m.group(1)), Path(m.group(2))
     if not run_dir.is_absolute():
         run_dir = out_dir / run_dir
-    res = {"arm": name, "steps": steps, "wall_s": round(wall, 1)}
+    res = {"arm": name, "steps": steps, "wall_s": round(wall, 1),
+           # provenance (VERDICT r4): an A/B artifact that doesn't embed its
+           # exact inputs can't be audited or reproduced — record both the
+           # verbatim CLI override list and the COMPOSED config snapshot the
+           # run itself persisted (tasks/common.py save_config_snapshot)
+           "cli_overrides": cmd[2:],
+           "run_dir": str(run_dir)}
+    snap = run_dir / "config.yaml"
+    if snap.exists():
+        import yaml
+
+        res["resolved_config"] = yaml.safe_load(snap.read_text())
     sus = re.search(r"sustained: ([\d.]+) ms/step over (\d+) steps", proc.stdout)
     if sus:
         res["sustained_ms_per_step"] = float(sus.group(1))
@@ -190,6 +201,11 @@ def main(argv=None):
                     help="extra dotted overrides appended to both arms (e.g. "
                          "trainer.max_steps=150 for a pure sustained-window "
                          "run with validation pushed out of the window)")
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated seed list (e.g. 1,2,3): run every "
+                         "arm once per seed and report per-arm mean±spread — "
+                         "single-seed promotion language is not supported by "
+                         "one paired run (VERDICT r4)")
     args = ap.parse_args(argv)
 
     preset = PRESETS[args.preset]
@@ -201,19 +217,49 @@ def main(argv=None):
     base = preset["base"] + ds_overrides + list(args.extra)
     if args.sustained:
         base = base + [f"this_main.sustained_report_after_steps={args.sustained}"]
+    seeds = [int(s) for s in args.seeds.split(",")] if args.seeds else [None]
     results = []
-    if args.arm in ("pixel", "both"):
-        results.append(run_arm("pixel", out, base, preset["accel"]))
-    if args.arm in ("token", "both"):
-        results.append(
-            run_arm("token", out, base + ["this_main.token_space_train=true"],
-                    preset["accel"])
-        )
+    for seed in seeds:
+        seed_ov = [] if seed is None else [f"seed={seed}"]
+        tag = "" if seed is None else f"_s{seed}"
+        if args.arm in ("pixel", "both"):
+            r = run_arm(f"pixel{tag}", out, base + seed_ov, preset["accel"])
+            r["arm"], r["seed"] = "pixel", seed
+            results.append(r)
+        if args.arm in ("token", "both"):
+            r = run_arm(
+                f"token{tag}", out,
+                base + seed_ov + ["this_main.token_space_train=true"],
+                preset["accel"],
+            )
+            r["arm"], r["seed"] = "token", seed
+            results.append(r)
 
-    report = {"preset": args.preset, "records": args.records, "arms": results}
+    report = {"preset": args.preset, "records": args.records,
+              "seeds": seeds if args.seeds else None, "arms": results}
+    if args.seeds and len(seeds) > 1:
+        import statistics as st
+
+        agg = {}
+        for arm in ("pixel", "token"):
+            rows = [r for r in results if r["arm"] == arm and "final_val_loss" in r]
+            if len(rows) >= 2:
+                agg[arm] = {
+                    k: {
+                        "mean": round(st.mean(r[k] for r in rows), 5),
+                        "stdev": round(st.stdev(r[k] for r in rows), 5),
+                        "values": [round(r[k], 5) for r in rows],
+                    }
+                    for k in ("final_val_loss", "final_val_corr",
+                              "best_val_loss", "best_val_corr")
+                }
+        report["aggregate"] = agg
     with open(out / "ab_report.json", "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps(report, indent=2))
+    print(json.dumps({k: v for k, v in report.items() if k != "arms"}
+                     | {"arms": [{k2: v2 for k2, v2 in r.items()
+                                  if k2 not in ("resolved_config", "val_curve")}
+                                 for r in report["arms"]]}, indent=2))
 
 
 if __name__ == "__main__":
