@@ -181,12 +181,32 @@ def load_model_params(cfg: Config, model, example_batch) -> dict:
         )
         return jax.tree_util.tree_map(lambda i, p: np.asarray(p, dtype=i.dtype), init_params, params)
 
-    from crossscore_tpu.io.checkpoint import load_params
+    from crossscore_tpu.io.checkpoint import load_params, load_params_host
 
-    restored = load_params(ckpt, like=init_params)
+    if ckpt.is_dir():
+        steps = sorted(
+            int(p.name) for p in ckpt.iterdir() if p.is_dir() and p.name.isdigit()
+        )
+        if steps:
+            # a CheckpointManager directory (tasks/train.py cadence saves,
+            # layout ckpt/<step>/default/<train state>): evaluate the LATEST
+            # step — the reference points test/predict at a single .ckpt the
+            # same way (task/test.py:134)
+            ckpt = ckpt / str(steps[-1])
+        if (ckpt / "default").is_dir():
+            ckpt = ckpt / "default"  # the manager's single-item name
+    try:
+        restored = load_params(ckpt, like=init_params)
+    except Exception:
+        # a train-STATE checkpoint (step/params/opt_state — structure
+        # mismatch vs the bare params `like`), or a save from another
+        # platform: restore on host, then take the params subtree below
+        restored = load_params_host(ckpt)
     if isinstance(restored, dict) and "params" in restored and "backbone" not in restored:
         restored = restored["params"]
-    return restored
+    return jax.tree_util.tree_map(
+        lambda i, p: np.asarray(p, dtype=i.dtype), init_params, restored
+    )
 
 
 def crop_bucketed(batch: dict, outputs: dict) -> tuple[dict, dict]:

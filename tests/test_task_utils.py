@@ -303,3 +303,82 @@ class TestMultiHostHelpers:
             jnp.asarray(a), NamedSharding(mesh2, P("data"))
         )
         np.testing.assert_array_equal(_concat_addressable_rows(sharded2), a)
+
+
+class TestLoadModelParams:
+    """tasks/common.py load_model_params directory resolution: a training
+    run's ckpt/ MANAGER dir (layout ckpt/<step>/<train state>) must load into
+    tasks.test/predict directly — the reference points eval at a checkpoint
+    the same way (``task/test.py:134``)."""
+
+    def _model_and_cfg(self):
+        import jax
+
+        from crossscore_tpu.models import CrossScoreNet, CrossScoreConfig, ViTConfig
+
+        vit = ViTConfig(hidden_size=32, num_layers=1, num_heads=2,
+                        patch_size=14, image_size=28)
+        model = CrossScoreNet(CrossScoreConfig(backbone=vit, pe_h=3, pe_w=3,
+                                               decoder_heads=2))
+        rng = np.random.default_rng(0)
+        batch = {
+            "query/img": jnp.asarray(rng.standard_normal((1, 28, 28, 3)).astype(np.float32)),
+            "reference/cross/imgs": jnp.asarray(
+                rng.standard_normal((1, 2, 28, 28, 3)).astype(np.float32)),
+        }
+        cfg = load_config("default_test")
+        set_key(cfg, "seed", 0)
+        return model, cfg, batch
+
+    def test_manager_dir_resolves_to_latest_step_params(self, tmp_path):
+        import jax
+
+        from crossscore_tpu.tasks.common import load_model_params
+        from crossscore_tpu.train import make_optimizer, create_train_state
+
+        model, cfg, batch = self._model_and_cfg()
+        params = model.init(jax.random.PRNGKey(0), batch["query/img"],
+                            batch["reference/cross/imgs"])["params"]
+        marked = jax.tree_util.tree_map(lambda x: x + 1.0, params)
+        train_cfg = load_config("default")
+        tx, _ = make_optimizer(train_cfg, marked, steps_per_epoch=1)
+        state = create_train_state(marked, tx)
+        mgr = CheckpointManager(tmp_path / "ckpt", train_time_interval_hours=None)
+        mgr.save(3, state, force=True)
+        state2 = state.replace(params=jax.tree_util.tree_map(lambda x: x + 1.0, marked))
+        mgr.save(7, state2, force=True)  # the LATEST step must win
+        mgr.wait()
+        mgr.close()
+
+        set_key(cfg, "trainer.ckpt_path_to_load", str(tmp_path / "ckpt"))
+        restored = load_model_params(cfg, model, batch)
+        lead_a = jax.tree_util.tree_leaves(restored)[0]
+        lead_b = jax.tree_util.tree_leaves(state2.params)[0]
+        np.testing.assert_allclose(np.asarray(lead_a), np.asarray(lead_b))
+
+    def test_bare_params_dir_still_loads(self, tmp_path):
+        from crossscore_tpu.tasks.common import load_model_params
+        import jax
+
+        model, cfg, batch = self._model_and_cfg()
+        params = model.init(jax.random.PRNGKey(1), batch["query/img"],
+                            batch["reference/cross/imgs"])["params"]
+        save_params(tmp_path / "p", params)
+        set_key(cfg, "trainer.ckpt_path_to_load", str(tmp_path / "p"))
+        restored = load_model_params(cfg, model, batch)
+        a = jax.tree_util.tree_leaves(restored)[0]
+        b = jax.tree_util.tree_leaves(params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_load_params_host_ignores_saved_shardings(self, tmp_path):
+        """load_params_host restores to host numpy regardless of platform —
+        the reverse converter must read TPU-written checkpoints on any host
+        (io/torch_convert.py --reverse)."""
+        from crossscore_tpu.io.checkpoint import load_params_host
+
+        tree = {"a": jnp.arange(6.0).reshape(2, 3), "n": {"b": jnp.ones(4)}}
+        save_params(tmp_path / "h", tree)
+        out = load_params_host(tmp_path / "h")
+        assert isinstance(out["a"], np.ndarray)
+        np.testing.assert_array_equal(out["a"], np.arange(6.0).reshape(2, 3))
+        np.testing.assert_array_equal(out["n"]["b"], np.ones(4))

@@ -136,9 +136,11 @@ def main(argv=None):
     import pandas as pd
 
     for k in ks:
+        # no run.dir: the test root config derives its out dir from the
+        # ckpt path (reference task/test.py:46-65 semantics)
         stdout = sh(
             [sys.executable, "-m", "crossscore_tpu.tasks.test",
-             f"trainer.accelerator={args.accel}", f"run.dir={out}",
+             f"trainer.accelerator={args.accel}",
              f"alias=mmtest_k{k}", path_ov,
              f"trainer.ckpt_path_to_load={ckpt}",
              f"data.neighbour_config.cross={k}",
