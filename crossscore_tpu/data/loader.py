@@ -54,22 +54,22 @@ def prepare_global_shard(batch: dict, bs: int) -> dict:
     form for the same reason.
     """
     out = dict(batch)
+    # derived lengths follow the ACTUAL row count: with pad_last=False a
+    # short final batch has fewer than bs rows, and bs-long derived arrays
+    # would mismatch the rows shipped via make_array_from_process_local_data
+    rows = next(
+        (v.shape[0] for v in out.values()
+         if isinstance(v, np.ndarray) and v.ndim > 0),
+        bs,
+    )
     n_valid = out.get("_valid")
     if n_valid is not None:
         n = int(n_valid)
-        # mask length follows the actual row count: with pad_last=False a
-        # short final batch has fewer than bs rows, and a bs-long mask would
-        # mismatch the arrays shipped via make_array_from_process_local_data
-        rows = next(
-            (v.shape[0] for v in out.values()
-             if isinstance(v, np.ndarray) and v.ndim > 0),
-            bs,
-        )
         out["_valid"] = n  # host-only from here on
         out["_valid_mask"] = (np.arange(rows) < n).astype(np.float32)
     vhw = out.get("_valid_hw")
     if vhw is not None and getattr(vhw, "ndim", 0) == 1:
-        out["_valid_hw"] = np.tile(np.asarray(vhw)[None], (bs, 1))
+        out["_valid_hw"] = np.tile(np.asarray(vhw)[None], (rows, 1))
     return out
 
 

@@ -89,6 +89,15 @@ def crop_token_grid(
     return np.ascontiguousarray(t.reshape(*tokens.shape[:-2], ch * cw, tokens.shape[-1]))
 
 
+def token_working_set(prefetch_batches: int, batch_size: int, k: int) -> int:
+    """In-flight token-cache working set: 2x (prefetch+1) batches of B*(K+1)
+    image grids each — the eviction-exposure window of the decode-skip path
+    (see :meth:`TokenSpaceLoader._check_cache_capacity`). The single source
+    of the formula; the ``train_recipe=token_fast`` cache sizing
+    (tasks/train.py) calls this too."""
+    return 2 * (prefetch_batches + 1) * batch_size * (k + 1)
+
+
 class TokenSpaceLoader(Loader):
     """Loader whose batches carry token crops instead of pixel crops.
 
@@ -143,7 +152,7 @@ class TokenSpaceLoader(Loader):
              for leaf in leaf_datasets(dataset)),
             default=0,
         )
-        need = 2 * (self.prefetch_batches + 1) * self.batch_size * (k + 1)
+        need = token_working_set(self.prefetch_batches, self.batch_size, k)
         # a cache that holds the ENTIRE distinct-image corpus can never
         # evict, so the in-flight working set is irrelevant — don't refuse
         # small-corpus configs (the index walk is host metadata only).

@@ -63,6 +63,18 @@ def _device_process_groups(devices, n_proc: int) -> list:
     sizes = {len(g) for g in groups.values()}
     if len(groups) == n_proc and len(sizes) == 1:
         return [groups[k] for k in sorted(groups)]
+    if len(groups) > 1:
+        # a REAL multi-host topology (distinct process_index values) that the
+        # grouping cannot cover evenly — e.g. a host with fewer healthy
+        # chips, or a device subset slicing across hosts. Chunking by list
+        # position here would hand "process p" another host's devices, and
+        # make_array_from_process_local_data (data/loader.py::_ship) would
+        # fail far from the cause — refuse loudly instead.
+        raise ValueError(
+            f"multi-host device groups are uneven ({ {k: len(g) for k, g in groups.items()} } "
+            f"across {n_proc} processes); an SPMD data mesh needs an equal "
+            "device count per host — exclude the uneven host or fix its chips"
+        )
     per = len(devices) // n_proc
     if per == 0:
         raise ValueError(
@@ -121,8 +133,15 @@ def make_mesh(
             per_host = min(len(g) for g in groups)
             if n_devices not in (None, -1):
                 # an explicit device cap is interpreted globally; keep the
-                # per-host counts equal under it
-                per_host = min(per_host, max(1, n // n_proc))
+                # per-host counts equal under it. A cap below one device per
+                # process is unsatisfiable — never silently exceed it.
+                if n < n_proc:
+                    raise ValueError(
+                        f"trainer.devices={n_devices} is below the "
+                        f"{n_proc} processes; a multi-host data mesh needs "
+                        ">=1 device per process"
+                    )
+                per_host = min(per_host, n // n_proc)
             d = _per_process_data_par(per_host, model_parallel, batch_size)
             sel = [dev for g in groups for dev in g[: d * model_parallel]]
             n = len(sel)

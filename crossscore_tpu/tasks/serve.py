@@ -600,6 +600,11 @@ class _Inflight:
             self.value -= 1
         return False
 
+    def bump(self):
+        """One-way increment (plain counter use, no paired decrement)."""
+        with self._lock:
+            self.value += 1
+
 
 def make_server(cfg):
     """Build (ThreadingHTTPServer, Scorer); the caller runs serve_forever."""
@@ -614,6 +619,7 @@ def make_server(cfg):
     # path (k8s sends SIGTERM, then SIGKILL after the grace period).
     draining = threading.Event()
     inflight = _Inflight()
+    drain_rejected = _Inflight()  # .value counts 503'd post-drain requests
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # stdout, one line, no reverse DNS
@@ -633,10 +639,14 @@ def make_server(cfg):
             if urlparse(self.path).path == "/healthz":
                 h = scorer.health()
                 if draining.is_set():
-                    # orchestrator readiness probes must see the drain so the
-                    # replica is pulled from rotation while it finishes
+                    # non-2xx, not just a body field: httpGet readiness
+                    # probes key on the STATUS CODE, so a draining replica
+                    # must answer 503 to be pulled from rotation (the body
+                    # still carries the full stats for humans)
                     h["status"] = "draining"
-                self._send_json(200, h)
+                    self._send_json(503, h)
+                else:
+                    self._send_json(200, h)
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
 
@@ -666,6 +676,7 @@ def make_server(cfg):
             # on the counter); one entering after gets the typed 503
             with inflight:
                 if draining.is_set():
+                    drain_rejected.bump()  # counted for the drain summary
                     self.close_connection = True
                     self._send_json(503, {
                         "error": "ServerDraining: SIGTERM received; this "
@@ -733,6 +744,7 @@ def make_server(cfg):
     server = ThreadingHTTPServer((host, port), Handler)
     server.draining = draining
     server.inflight = inflight
+    server.drain_rejected = drain_rejected
     return server, scorer
 
 
@@ -803,7 +815,9 @@ def serve(cfg) -> None:
                  f"deadline {deadline}s hit, {server.inflight.value} still in flight")
         print(
             f"serve: SIGTERM drain {state} — {h['requests']} requests, "
-            f"{h['dispatches']} dispatches, {h['rejected_503']} rejected 503",
+            f"{h['dispatches']} dispatches, "
+            f"{server.drain_rejected.value} drain-refused 503 "
+            f"(overload 503s over the run: {h['rejected_503']})",
             flush=True,
         )
     server.server_close()

@@ -25,7 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
-from crossscore_tpu.tasks.common import parse_cli, timestamp, JsonlLogger
+from crossscore_tpu.tasks.common import parse_cli, timestamp, JsonlLogger, device_view
 
 
 def apply_train_recipe(cfg) -> str:
@@ -36,13 +36,18 @@ def apply_train_recipe(cfg) -> str:
     training (decoder-only train graph, ``this_main.token_space_train``),
     uint8 pixels on the wire (``data.dataset.wire_uint8`` — quarters the
     host->device traffic), and a token cache sized to the in-flight working
-    set. It falls back to the default pixel recipe WITH A WARNING when the
-    crop covers >= 60% of the resized short side — the regime where the
-    token path's full-image attention context measurably diverges from the
-    reference's crop-context training (reference ``task/core.py:119-161``
-    encodes the crop; the cpu-tiny A/B arm regressed there,
-    docs/results/ab_token_vs_pixel_*). With ``resize_short_side <= 0`` the
-    image geometry is unknown statically and the check is skipped.
+    set. It falls back to the default pixel recipe WITH A WARNING at TOY
+    crop geometry — crop grids narrower than
+    ``this_main.token_fast_min_grid`` (default 16) patches per side. That is
+    the regime separating the two A/B measurements
+    (docs/results/ab_token_vs_pixel_*): at the production 37x37-patch crop
+    (518 px on a 540x720 corpus) token training matched pixel quality
+    on-chip, while the only measured regression was the cpu-tiny arm's
+    6x6-patch crops, where the token path's full-image attention context
+    (vs the reference's crop-context encode, ``task/core.py:119-161``) is
+    proportionally at its most extreme. Coverage fraction does NOT separate
+    the two regimes — the production crop covers 96% of its corpus' short
+    side and still validated equal.
 
     Returns the recipe actually applied (``token_fast`` or ``default``).
     ``default``/``pixel`` are no-ops; unknown names raise.
@@ -56,28 +61,33 @@ def apply_train_recipe(cfg) -> str:
             "expected default | pixel | token_fast"
         )
     crop = int(cfg.data.transforms.crop_size)
-    short = int(cfg.this_main.get("resize_short_side") or -1)
-    if short > 0 and crop >= 0.6 * short:
+    patch = int(cfg.model.get("patch_size", 14) or 14)
+    min_grid = int(cfg.this_main.get("token_fast_min_grid", 16) or 0)
+    if crop // patch < min_grid:
         import warnings
 
         warnings.warn(
-            f"train_recipe=token_fast: crop_size {crop} covers >=60% of the "
-            f"resized short side {short} — the regime where token-space "
-            "training's full-image context diverges from the reference's "
-            "crop-context training; falling back to the pixel recipe "
-            "(set this_main.token_space_train=true to force the token path)",
+            f"train_recipe=token_fast: crop grid {crop // patch}x"
+            f"{crop // patch} is below token_fast_min_grid={min_grid} — toy "
+            "geometry, the one regime where the token path's full-image "
+            "context measurably diverged from pixel training (cpu-tiny A/B "
+            "arm); falling back to the pixel recipe (set "
+            "this_main.token_space_train=true to force the token path, or "
+            "lower this_main.token_fast_min_grid)",
             RuntimeWarning,
             stacklevel=2,
         )
         return "default"
     from crossscore_tpu.confsys import set_key
+    from crossscore_tpu.data.token_train import token_working_set
 
     set_key(cfg, "this_main.token_space_train", True)
     set_key(cfg, "data.dataset.wire_uint8", True)
-    k = int(cfg.data.neighbour_config.cross)
-    bs = int(cfg.data.loader.train.batch_size)
-    pf = int(cfg.data.loader.train.prefetch_factor)
-    need = 2 * (pf + 1) * bs * (k + 1)  # TokenSpaceLoader working-set bound
+    need = token_working_set(
+        prefetch_batches=int(cfg.data.loader.train.prefetch_factor),
+        batch_size=int(cfg.data.loader.train.batch_size),
+        k=int(cfg.data.neighbour_config.cross),
+    )
     if int(cfg.this_main.get("ref_token_cache_max_items", 0)) < need:
         set_key(cfg, "this_main.ref_token_cache_max_items", need)
     print(
@@ -463,8 +473,6 @@ def train(cfg) -> Path:
             # so ``_weights`` zeroes duplicate rows out of the training loss
             # either way — the reference never trains on duplicates (its
             # final torch batch is simply smaller, ``task/train.py:86-103``)
-            from crossscore_tpu.tasks.common import device_view
-
             batch = device_view(batch)
             if profile_window and global_step == profile_window[0]:
                 jax.profiler.start_trace(profile_dir)

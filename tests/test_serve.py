@@ -806,12 +806,20 @@ class TestSigtermDrain:
                 )
                 with pytest.raises((urllib.error.URLError, ConnectionError)):
                     urllib.request.urlopen(req, timeout=10)
+            # every ServerDraining 503 is counted for the drain summary
+            assert srv.drain_rejected.value == len(drains)
         finally:
             signal.signal(signal.SIGTERM, old_handler)
             srv.shutdown()
             srv.server_close()
 
-    def test_healthz_reports_draining(self, ws):
+    def test_healthz_reports_draining_as_503(self, ws):
+        """A draining replica must answer /healthz with a NON-2xx status:
+        httpGet readiness probes key on the status code alone, so a 200
+        with a 'draining' body would keep the replica in rotation for the
+        whole grace period."""
+        import urllib.error
+
         from crossscore_tpu.tasks.common import parse_cli
         from crossscore_tpu.tasks.serve import make_server
 
@@ -823,10 +831,15 @@ class TestSigtermDrain:
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         try:
             with urllib.request.urlopen(_url(srv, "/healthz"), timeout=60) as r:
+                assert r.status == 200
                 assert json.loads(r.read())["status"] == "ok"
             srv.draining.set()
-            with urllib.request.urlopen(_url(srv, "/healthz"), timeout=60) as r:
-                assert json.loads(r.read())["status"] == "draining"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(_url(srv, "/healthz"), timeout=60)
+            assert ei.value.code == 503
+            body = json.loads(ei.value.read())
+            assert body["status"] == "draining"
+            assert "refs" in body  # full stats still carried for humans
         finally:
             srv.shutdown()
             srv.server_close()

@@ -627,33 +627,45 @@ class TestTrainRecipe:
     def test_composes_fast_path_keys(self):
         from crossscore_tpu.tasks.train import apply_train_recipe
 
+        from crossscore_tpu.data.token_train import token_working_set
+
         cfg = self._cfg([
             "this_main.train_recipe=token_fast",
             "data.transforms.crop_size=28",
             "this_main.resize_short_side=84",
+            "this_main.token_fast_min_grid=2",  # toy test geometry
         ])
         assert apply_train_recipe(cfg) == "token_fast"
         assert cfg.this_main.token_space_train is True
         assert cfg.data.dataset.wire_uint8 is True
-        # cache sized to the working set: 2 * (prefetch+1) * B * (K+1)
-        pf = int(cfg.data.loader.train.prefetch_factor)
-        need = 2 * (pf + 1) * 2 * 3
+        # cache sized by the loader's own working-set formula (one source)
+        need = token_working_set(
+            int(cfg.data.loader.train.prefetch_factor), 2, 2)
         assert int(cfg.this_main.ref_token_cache_max_items) >= need
 
-    def test_falls_back_when_crop_dominates_image(self):
-        """crop >= 60% of the resized short side is the measured regime where
-        the token path's full-image context diverges (cpu-tiny A/B arm) —
-        the recipe must warn and fall back, not silently train there."""
+    def test_falls_back_at_toy_crop_grids(self):
+        """Crop grids below token_fast_min_grid (default 16) are the one
+        measured-bad regime (the cpu-tiny A/B arm's 6x6 grids) — the recipe
+        must warn and fall back, not silently train there. Production
+        geometry (37x37 grid) engages; coverage fraction does NOT separate
+        the regimes (production crops cover 96% of their corpus)."""
         from crossscore_tpu.tasks.train import apply_train_recipe
 
         cfg = self._cfg([
             "this_main.train_recipe=token_fast",
-            "data.transforms.crop_size=56",
-            "this_main.resize_short_side=84",
+            "data.transforms.crop_size=84",  # 6x6 grid, the cpu-tiny arm
+            "this_main.resize_short_side=-1",
         ])
-        with pytest.warns(RuntimeWarning, match="60%"):
+        with pytest.warns(RuntimeWarning, match="token_fast_min_grid"):
             assert apply_train_recipe(cfg) == "default"
         assert not cfg.this_main.token_space_train
+        # the production crop (518 -> 37x37) engages without a warning
+        cfg = self._cfg([
+            "this_main.train_recipe=token_fast",
+            "data.transforms.crop_size=518",
+            "this_main.resize_short_side=540",
+        ])
+        assert apply_train_recipe(cfg) == "token_fast"
 
     def test_unknown_recipe_raises(self):
         from crossscore_tpu.tasks.train import apply_train_recipe
@@ -676,6 +688,7 @@ class TestTrainRecipe:
         ] + [
             f"data.dataset.path=[{token_ws}]",
             "this_main.train_recipe=token_fast",
+            "this_main.token_fast_min_grid=2",  # toy CPU test geometry
             "trainer.max_epochs=1",
             "alias=recipe",
         ]
