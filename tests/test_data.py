@@ -303,6 +303,22 @@ class TestShardWrapAndGlobalBatches:
         out2 = prepare_global_shard({"x": np.zeros(3)}, 4)
         assert "_valid_mask" not in out2
 
+    def test_prepare_global_shard_short_batch_rows(self):
+        """pad_last=False short final batch: every derived per-row array
+        (_valid_mask, promoted _valid_hw) follows the ACTUAL row count, not
+        bs — a bs-long derived array would mismatch the rows shipped via
+        make_array_from_process_local_data."""
+        from crossscore_tpu.data.loader import prepare_global_shard
+
+        b = {
+            "query/img": np.zeros((3, 8, 8, 3), np.float32),  # short: 3 < bs=4
+            "_valid": np.asarray(3, np.int32),
+            "_valid_hw": np.asarray([6, 8], np.int32),
+        }
+        out = prepare_global_shard(b, 4)
+        np.testing.assert_array_equal(out["_valid_mask"], [1.0, 1.0, 1.0])
+        assert out["_valid_hw"].shape == (3, 2)
+
     def test_slow_final_batch_not_dropped(self, dataset_root):
         """The consumer must not conclude EOF while the producer's final
         batch is still in flight (regression: an Empty timeout racing the
