@@ -687,7 +687,8 @@ class TestMultiMethodEval:
             # summarised exactly once
             assert len(df) == 5, c
             assert "pred_ssim_0_1" in df.columns
-            assert df["image_name"].is_unique is False or len(set(df["image_name"])) <= 5
+            # each (rendered_dir, image) summarised exactly once
+            assert not df.duplicated(["rendered_dir", "image_name"]).any()
 
     def test_gt_summary_ranks_methods_by_degradation_scale(self, mm_ws):
         import pandas as pd

@@ -134,8 +134,14 @@ def ensure_corpus(root: Path, preset: dict, pack_records: bool) -> list[str]:
     return overrides
 
 
-def run_arm(name: str, out_dir: Path, overrides: list[str], accel: str) -> dict:
-    """Run one tasks.train arm in a subprocess; parse run_dir + metrics."""
+def run_arm(name: str, out_dir: Path, overrides: list[str], accel: str,
+            timeout_s: float = 5400) -> dict:
+    """Run one tasks.train arm in a subprocess; parse run_dir + metrics.
+
+    ``timeout_s`` bounds the arm: a hung tunnel RPC otherwise stalls the
+    whole multi-seed session silently (observed r5: a token arm froze at
+    step 80 with every thread futex-waiting on a dispatch that never
+    returned)."""
     env = dict(os.environ)
     # APPEND to PYTHONPATH: overwriting drops the axon TPU plugin (CLAUDE.md)
     env["PYTHONPATH"] = f"{REPO}:" + env.get("PYTHONPATH", "/root/.axon_site")
@@ -144,7 +150,8 @@ def run_arm(name: str, out_dir: Path, overrides: list[str], accel: str) -> dict:
            f"alias={name}"] + overrides
     print(f"[{name}] {' '.join(cmd[2:])}", flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, env=env, cwd=out_dir, capture_output=True, text=True)
+    proc = subprocess.run(cmd, env=env, cwd=out_dir, capture_output=True,
+                          text=True, timeout=timeout_s)
     wall = time.time() - t0
     sys.stdout.write(proc.stdout[-2000:])
     if proc.returncode != 0:
@@ -219,21 +226,29 @@ def main(argv=None):
         base = base + [f"this_main.sustained_report_after_steps={args.sustained}"]
     seeds = [int(s) for s in args.seeds.split(",")] if args.seeds else [None]
     results = []
+
+    def _arm(name, overrides, arm, seed):
+        """One failed/hung arm must not lose the session's completed arms:
+        record the failure, persist the partial report, keep going."""
+        try:
+            r = run_arm(name, out, overrides, preset["accel"])
+        except Exception as e:
+            r = {"arm": arm, "error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"[{name}] FAILED: {r['error']}", flush=True)
+        r["arm"], r["seed"] = arm, seed
+        results.append(r)
+        with open(out / "ab_report_partial.json", "w") as f:
+            json.dump(results, f, indent=2)
+
     for seed in seeds:
         seed_ov = [] if seed is None else [f"seed={seed}"]
         tag = "" if seed is None else f"_s{seed}"
         if args.arm in ("pixel", "both"):
-            r = run_arm(f"pixel{tag}", out, base + seed_ov, preset["accel"])
-            r["arm"], r["seed"] = "pixel", seed
-            results.append(r)
+            _arm(f"pixel{tag}", base + seed_ov, "pixel", seed)
         if args.arm in ("token", "both"):
-            r = run_arm(
-                f"token{tag}", out,
-                base + seed_ov + ["this_main.token_space_train=true"],
-                preset["accel"],
-            )
-            r["arm"], r["seed"] = "token", seed
-            results.append(r)
+            _arm(f"token{tag}",
+                 base + seed_ov + ["this_main.token_space_train=true"],
+                 "token", seed)
 
     report = {"preset": args.preset, "records": args.records,
               "seeds": seeds if args.seeds else None, "arms": results}
