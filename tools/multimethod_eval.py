@@ -93,6 +93,9 @@ def main(argv=None):
             "data.loader.validation.num_workers=2",
             "data.transforms.crop_size=518",
             "this_main.resize_short_side=-1",
+            # uint8 wire = the production train path AND the same compiled
+            # train graph as the A/B runs (warm compile cache on-chip)
+            "data.dataset.wire_uint8=true",
         ]
 
     # 1. corpus ------------------------------------------------------------
