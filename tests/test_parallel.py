@@ -109,6 +109,26 @@ class TestMesh:
         assert [d.id for d in g[0]] == [0, 1, 2, 3]
         assert [d.id for d in g[1]] == [4, 5, 6, 7]
 
+    def test_uneven_real_multihost_groups_raise(self):
+        """REAL multi-host topologies (distinct process_index values) with
+        uneven per-host device counts must refuse — position-chunking would
+        hand one process another host's devices and fail far away inside
+        make_array_from_process_local_data."""
+        from crossscore_tpu.parallel.mesh import _device_process_groups
+
+        class FakeDev:
+            def __init__(self, i, pi):
+                self.id, self.process_index = i, pi
+
+        devs = [FakeDev(i, 0) for i in range(4)] + [FakeDev(4 + i, 1) for i in range(2)]
+        with pytest.raises(ValueError, match="uneven"):
+            _device_process_groups(devs, 2)
+
+    def test_device_cap_below_process_count_raises(self, monkeypatch):
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        with pytest.raises(ValueError, match="below the"):
+            make_mesh(2, batch_size=8)
+
     def test_tp_specs(self, model_and_params):
         _, params = model_and_params
         mesh = make_mesh(8, model_parallel=2)
