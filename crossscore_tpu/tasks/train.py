@@ -61,7 +61,7 @@ def apply_train_recipe(cfg) -> str:
             "expected default | pixel | token_fast"
         )
     crop = int(cfg.data.transforms.crop_size)
-    patch = int(cfg.model.get("patch_size", 14) or 14)
+    patch = int(cfg.model.patch_size)
     min_grid = int(cfg.this_main.get("token_fast_min_grid", 16) or 0)
     if crop // patch < min_grid:
         import warnings

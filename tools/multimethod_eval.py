@@ -27,6 +27,7 @@ CPU smoke:
 from __future__ import annotations
 
 import argparse
+import csv
 import json
 import os
 import re
@@ -160,7 +161,7 @@ def main(argv=None):
 
             run["resolved_config"] = yaml.safe_load(snap.read_text())
         with open(test_dir / "metrics.csv") as f:
-            rows = list(__import__("csv").DictReader(f))
+            rows = list(csv.DictReader(f))
         run["pooled"] = {kk: float(v) for kk, v in rows[-1].items() if kk != "batch_idx"}
         for m in METHODS:
             df = pd.read_csv(test_dir / "score_summary" / DATASET / f"{m}.csv")

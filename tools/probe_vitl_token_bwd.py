@@ -136,21 +136,20 @@ def main(argv=None):
     # ---- analytic floors for ONE cross-attn backward call ----
     bq0, bk0 = pick_cross_ln_blocks(nq, nk)
     nlb = d // 128
-    for bk in (bk0,):
-        nk_p = -(-nk // bk) * bk
-        q_chunks = max(1, -(-nq * bk // 300_000))
-        cq = -(-(-(-nq // q_chunks)) // 8) * 8
-        nq_p = cq * q_chunks
-        mxu_ms = 10 * b * heads * nq * nk * hd / V5E_BF16_PEAK * 1e3
-        qdo = 2 * b * nlb * (nk_p // bk) * nq_p * 128 * 2  # q+do re-reads
-        kv = 4 * b * nk_p * d * 2                          # k,v read + dk,dv write
-        dq = b * nq_p * d * 2
-        hbm_ms = (qdo + kv + dq) / V5E_HBM_BPS * 1e3
-        print(f"floors (one bwd call, bk={bk}): MXU {mxu_ms:.2f} ms, "
-              f"HBM {hbm_ms:.2f} ms ({(qdo + kv + dq) / 1e6:.0f} MB)", flush=True)
-        report["floors"] = {"bwd_mxu_ms": round(mxu_ms, 2),
-                            "bwd_hbm_ms": round(hbm_ms, 2),
-                            "block_q": bq0, "block_k": bk}
+    nk_p = -(-nk // bk0) * bk0
+    q_chunks = max(1, -(-nq * bk0 // 300_000))
+    cq = -(-(-(-nq // q_chunks)) // 8) * 8
+    nq_p = cq * q_chunks
+    mxu_ms = 10 * b * heads * nq * nk * hd / V5E_BF16_PEAK * 1e3
+    qdo = 2 * b * nlb * (nk_p // bk0) * nq_p * 128 * 2  # q+do re-reads
+    kv = 4 * b * nk_p * d * 2                           # k,v read + dk,dv write
+    dq = b * nq_p * d * 2
+    hbm_ms = (qdo + kv + dq) / V5E_HBM_BPS * 1e3
+    print(f"floors (one bwd call, bk={bk0}): MXU {mxu_ms:.2f} ms, "
+          f"HBM {hbm_ms:.2f} ms ({(qdo + kv + dq) / 1e6:.0f} MB)", flush=True)
+    report["floors"] = {"bwd_mxu_ms": round(mxu_ms, 2),
+                        "bwd_hbm_ms": round(hbm_ms, 2),
+                        "block_q": bq0, "block_k": bk0}
 
     # ---- 1. full token train step ----
     tx, _ = make_optimizer(cfg, init, steps_per_epoch=100)
