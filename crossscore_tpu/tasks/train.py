@@ -49,6 +49,11 @@ def apply_train_recipe(cfg) -> str:
     the two regimes — the production crop covers 96% of its corpus' short
     side and still validated equal.
 
+    The default threshold of 16 is a conservative cut BETWEEN the two
+    measured points (6-grid bad, 37-grid good) — geometries in the 16..36
+    range are unmeasured; tune ``token_fast_min_grid`` with your own A/B
+    if you operate there.
+
     Returns the recipe actually applied (``token_fast`` or ``default``).
     ``default``/``pixel`` are no-ops; unknown names raise.
     """
