@@ -36,25 +36,20 @@ def apply_train_recipe(cfg) -> str:
     training (decoder-only train graph, ``this_main.token_space_train``),
     uint8 pixels on the wire (``data.dataset.wire_uint8`` — quarters the
     host->device traffic), and a token cache sized to the in-flight working
-    set. It falls back to the default pixel recipe WITH A WARNING at TOY
-    crop geometry — crop grids narrower than
-    ``this_main.token_fast_min_grid`` (default 16) patches per side. That is
-    the regime separating the two A/B measurements
-    (docs/results/ab_token_vs_pixel_*): at the production 37x37-patch crop
-    (518 px on a 540x720 corpus) token training matched pixel quality
-    on-chip, while the only measured regression was the cpu-tiny arm's
-    6x6-patch crops, where the token path's full-image attention context
-    (vs the reference's crop-context encode, ``task/core.py:119-161``) is
-    proportionally at its most extreme. Coverage fraction does NOT separate
-    the two regimes — the production crop covers 96% of its corpus' short
-    side and still validated equal.
+    set.
 
-    The default threshold of 16 is a conservative cut BETWEEN the two
-    measured points (6-grid bad, 37-grid good) — geometries in the 16..36
-    range are unmeasured; tune ``token_fast_min_grid`` with your own A/B
-    if you operate there.
+    The geometry guard — falling back to the pixel recipe when the crop
+    covers too small a FRACTION of the image — lives in :func:`train` after
+    the dataset is built (``token_fast_coverage_guard``), because only the
+    dataset knows the true image sizes. The measured axis (three on-chip
+    A/Bs, docs/results/ab_token_vs_pixel_*): token matched pixel at 69%
+    area coverage (crop 518 on 540x720), and clearly regressed at 45%
+    (cpu-tiny, dL1 ~0.02) and at 16% (crop 252 on 540x720, dL1 0.023) —
+    the token path's full-image attention context (vs the reference's
+    crop-context encode, ``task/core.py:119-161``) hurts when the extra
+    context dwarfs the crop, not when the crop dominates the image.
 
-    Returns the recipe actually applied (``token_fast`` or ``default``).
+    Returns the recipe applied (``token_fast`` or ``default``);
     ``default``/``pixel`` are no-ops; unknown names raise.
     """
     recipe = str(cfg.this_main.get("train_recipe", "default") or "default")
@@ -65,24 +60,6 @@ def apply_train_recipe(cfg) -> str:
             f"unknown this_main.train_recipe {recipe!r}; "
             "expected default | pixel | token_fast"
         )
-    crop = int(cfg.data.transforms.crop_size)
-    patch = int(cfg.model.patch_size)
-    min_grid = int(cfg.this_main.get("token_fast_min_grid", 16) or 0)
-    if crop // patch < min_grid:
-        import warnings
-
-        warnings.warn(
-            f"train_recipe=token_fast: crop grid {crop // patch}x"
-            f"{crop // patch} is below token_fast_min_grid={min_grid} — toy "
-            "geometry, the one regime where the token path's full-image "
-            "context measurably diverged from pixel training (cpu-tiny A/B "
-            "arm); falling back to the pixel recipe (set "
-            "this_main.token_space_train=true to force the token path, or "
-            "lower this_main.token_fast_min_grid)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return "default"
     from crossscore_tpu.confsys import set_key
     from crossscore_tpu.data.token_train import token_working_set
 
@@ -101,6 +78,44 @@ def apply_train_recipe(cfg) -> str:
         flush=True,
     )
     return "token_fast"
+
+
+def token_fast_coverage_guard(cfg, ds_train) -> bool:
+    """Post-dataset geometry guard for the ``token_fast`` recipe.
+
+    Returns True when the token path should stay on, False to fall back to
+    pixel crops. The gate is the crop's AREA COVERAGE of the (resized,
+    trimmed) image — ``crop^2 / (H*W)`` from the dataset's own item shapes
+    (``get_item_shape`` reads only PNG headers) against
+    ``this_main.token_fast_min_coverage`` (default 0.6). Measured points
+    (on-chip A/Bs): 0.69 coverage -> token == pixel across 3 seeds; 0.45
+    and 0.16 coverage -> token clearly behind (dL1 ~0.02, far outside the
+    ±0.003 seed noise). The 0.46..0.68 range is unmeasured — the 0.6
+    default cuts conservatively inside it; tune with your own A/B there.
+    Manual ``this_main.token_space_train=true`` (without the recipe) is
+    never second-guessed."""
+    import warnings
+
+    crop = int(cfg.data.transforms.crop_size)
+    min_cov = float(cfg.this_main.get("token_fast_min_coverage", 0.6) or 0)
+    if len(ds_train) == 0 or min_cov <= 0:
+        return True
+    h, w = ds_train.get_item_shape(0)
+    cov = crop * crop / float(h * w)
+    if cov >= min_cov:
+        return True
+    warnings.warn(
+        f"train_recipe=token_fast: the {crop}px crop covers only "
+        f"{cov:.0%} of the {h}x{w} image (< token_fast_min_coverage="
+        f"{min_cov:.0%}) — the measured regime where the token path's "
+        "full-image attention context regresses quality (docs/results "
+        "A/Bs at 45% and 16% coverage); falling back to pixel crops. "
+        "Set this_main.token_space_train=true to force the token path, "
+        "or lower this_main.token_fast_min_coverage",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return False
 
 
 def train(cfg) -> Path:
@@ -125,7 +140,7 @@ def train(cfg) -> Path:
     from crossscore_tpu.utils.vis import make_visualiser
 
     ConfigChecker(cfg).check_train_val()
-    apply_train_recipe(cfg)
+    recipe = apply_train_recipe(cfg)
 
     if cfg.trainer.get("multi_host", False):
         jax.distributed.initialize()
@@ -159,6 +174,18 @@ def train(cfg) -> Path:
         resize_short_side=cfg.this_main.resize_short_side,
         deterministic_crop=deterministic_crop,
     )
+    if token_train and recipe == "token_fast" and not token_fast_coverage_guard(cfg, ds_train):
+        # recipe-engaged token mode at a measured-bad geometry: fall back to
+        # the reference's pixel crops (rebuild with the default crop mode)
+        token_train = False
+        from crossscore_tpu.confsys import set_key
+
+        set_key(cfg, "this_main.token_space_train", False)
+        ds_train = get_dataset(
+            cfg, "train", crop_mode="dataset_default",
+            resize_short_side=cfg.this_main.resize_short_side,
+            deterministic_crop=deterministic_crop,
+        )
     ds_val = get_dataset(
         cfg, "test", return_item_paths=True, crop_mode="dataset_default",
         resize_short_side=cfg.this_main.resize_short_side,

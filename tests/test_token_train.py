@@ -633,7 +633,6 @@ class TestTrainRecipe:
             "this_main.train_recipe=token_fast",
             "data.transforms.crop_size=28",
             "this_main.resize_short_side=84",
-            "this_main.token_fast_min_grid=2",  # toy test geometry
         ])
         assert apply_train_recipe(cfg) == "token_fast"
         assert cfg.this_main.token_space_train is True
@@ -643,29 +642,27 @@ class TestTrainRecipe:
             int(cfg.data.loader.train.prefetch_factor), 2, 2)
         assert int(cfg.this_main.ref_token_cache_max_items) >= need
 
-    def test_falls_back_at_toy_crop_grids(self):
-        """Crop grids below token_fast_min_grid (default 16) are the one
-        measured-bad regime (the cpu-tiny A/B arm's 6x6 grids) — the recipe
-        must warn and fall back, not silently train there. Production
-        geometry (37x37 grid) engages; coverage fraction does NOT separate
-        the regimes (production crops cover 96% of their corpus)."""
-        from crossscore_tpu.tasks.train import apply_train_recipe
+    def test_coverage_guard_measured_points(self, token_ws):
+        """token_fast_coverage_guard on the dataset's true image sizes:
+        the three measured A/B points (0.69 coverage equal; 0.45 and 0.16
+        regressed, docs/results/ab_token_vs_pixel_*) motivate the 0.6 area
+        threshold — low-coverage geometry must warn and fall back."""
+        from crossscore_tpu.confsys import set_key
+        from crossscore_tpu.tasks.train import token_fast_coverage_guard
 
-        cfg = self._cfg([
-            "this_main.train_recipe=token_fast",
-            "data.transforms.crop_size=84",  # 6x6 grid, the cpu-tiny arm
-            "this_main.resize_short_side=-1",
-        ])
-        with pytest.warns(RuntimeWarning, match="token_fast_min_grid"):
-            assert apply_train_recipe(cfg) == "default"
-        assert not cfg.this_main.token_space_train
-        # the production crop (518 -> 37x37) engages without a warning
-        cfg = self._cfg([
-            "this_main.train_recipe=token_fast",
-            "data.transforms.crop_size=518",
-            "this_main.resize_short_side=540",
-        ])
-        assert apply_train_recipe(cfg) == "token_fast"
+        ds = _uncropped_ds(token_ws)  # 84x112 full images
+        cfg = self._cfg([])
+        # crop 56 -> 56^2/(84*112) = 33% coverage: below the 0.6 default
+        set_key(cfg, "data.transforms.crop_size", 56)
+        with pytest.warns(RuntimeWarning, match="token_fast_min_coverage"):
+            assert token_fast_coverage_guard(cfg, ds) is False
+        # crop 84 -> 75% coverage: engages silently
+        set_key(cfg, "data.transforms.crop_size", 84)
+        assert token_fast_coverage_guard(cfg, ds) is True
+        # the knob moves the cut
+        set_key(cfg, "data.transforms.crop_size", 56)
+        set_key(cfg, "this_main.token_fast_min_coverage", 0.2)
+        assert token_fast_coverage_guard(cfg, ds) is True
 
     def test_unknown_recipe_raises(self):
         from crossscore_tpu.tasks.train import apply_train_recipe
@@ -673,6 +670,31 @@ class TestTrainRecipe:
         cfg = self._cfg(["this_main.train_recipe=warp9"])
         with pytest.raises(ValueError, match="train_recipe"):
             apply_train_recipe(cfg)
+
+    def test_e2e_low_coverage_falls_back_to_pixel(self, token_ws, tmp_path,
+                                                   monkeypatch):
+        """Default coverage threshold on the toy corpus (33% coverage):
+        tasks.train must warn, rebuild the pixel dataset, and complete on
+        the reference crop path."""
+        import json
+
+        from crossscore_tpu.tasks.train import main
+
+        monkeypatch.chdir(tmp_path)
+        overrides = [
+            o for o in TestTokenTrainCLI.OVERRIDES
+            if not o.startswith("this_main.token_space_train")
+        ] + [
+            f"data.dataset.path=[{token_ws}]",
+            "this_main.train_recipe=token_fast",
+            "trainer.max_epochs=1",
+            "alias=lowcov",
+        ]
+        with pytest.warns(RuntimeWarning, match="token_fast_min_coverage"):
+            run_dir = main(overrides)
+        rows = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+        losses = [r["train/loss"] for r in rows if "train/loss" in r]
+        assert losses and all(np.isfinite(losses))
 
     def test_e2e_train_run(self, token_ws, tmp_path, monkeypatch):
         """The one-flag recipe drives tasks.train end-to-end on CPU: token
@@ -688,7 +710,8 @@ class TestTrainRecipe:
         ] + [
             f"data.dataset.path=[{token_ws}]",
             "this_main.train_recipe=token_fast",
-            "this_main.token_fast_min_grid=2",  # toy CPU test geometry
+            # toy CPU geometry: crop 56 on 84x112 images = 33% coverage
+            "this_main.token_fast_min_coverage=0.2",
             "trainer.max_epochs=1",
             "alias=recipe",
         ]
