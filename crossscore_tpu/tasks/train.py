@@ -88,12 +88,12 @@ def token_fast_coverage_guard(cfg, ds_train) -> bool:
     trimmed) image — ``crop^2 / (H*W)`` from the dataset's own item shapes
     (``get_item_shape`` reads only PNG headers) against
     ``this_main.token_fast_min_coverage`` (default 0.6). Measured points
-    (on-chip A/Bs): 0.69 coverage -> token == pixel across 3 seeds; 0.45
-    and 0.16 coverage -> token clearly behind (dL1 ~0.02, far outside the
-    ±0.003 seed noise). The 0.46..0.68 range is unmeasured — the 0.6
-    default cuts conservatively inside it; tune with your own A/B there.
-    Manual ``this_main.token_space_train=true`` (without the recipe) is
-    never second-guessed."""
+    (on-chip A/Bs, docs/results): 0.69 coverage -> token == pixel across 3
+    seeds; 0.55 -> mild onset (dL1 +0.005, ~1.7x seed noise, n=1); 0.45
+    and 0.16 -> clear regressions (dL1 ~0.02, ~8x seed noise). The 0.6
+    default sits between the measured-mild 0.55 and the measured-clean
+    0.69 points. Manual ``this_main.token_space_train=true`` (without the
+    recipe) is never second-guessed."""
     import warnings
 
     crop = int(cfg.data.transforms.crop_size)
