@@ -671,6 +671,21 @@ class TestTrainRecipe:
         with pytest.raises(ValueError, match="train_recipe"):
             apply_train_recipe(cfg)
 
+    def test_coverage_guard_concat_dataset(self, token_ws):
+        """Multi-root corpora (ConcatDataset) go through the same guard —
+        get_item_shape dispatches to the owning leaf."""
+        from crossscore_tpu.confsys import set_key
+        from crossscore_tpu.data.nvs_index import ConcatDataset
+        from crossscore_tpu.tasks.train import token_fast_coverage_guard
+
+        ds = ConcatDataset([_uncropped_ds(token_ws), _uncropped_ds(token_ws)])
+        cfg = self._cfg([])
+        set_key(cfg, "data.transforms.crop_size", 84)  # 75% coverage
+        assert token_fast_coverage_guard(cfg, ds) is True
+        set_key(cfg, "data.transforms.crop_size", 56)  # 33%
+        with pytest.warns(RuntimeWarning, match="token_fast_min_coverage"):
+            assert token_fast_coverage_guard(cfg, ds) is False
+
     def test_e2e_low_coverage_falls_back_to_pixel(self, token_ws, tmp_path,
                                                    monkeypatch):
         """Default coverage threshold on the toy corpus (33% coverage):
